@@ -1,13 +1,255 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.scrub.PiiScrub
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every SQL-expressible operator has BOTH a `queries` entry (DataFrame API)
+  * and an `oracleSql` entry (ANSI SQL for DuckDB over the same parquet).
+  * Column names and row order are made to match exactly; double-valued
+  * aggregates are rounded on both sides so bit-level engine differences
+  * can't flip the driver's hash compare.
+  *
+  * Non-SQL-expressible operators (the model-scoring pipeline, MinHash/LSH)
+  * are rows-only checked by the driver and correctness-tested in ScalaTest
+  * against the deterministic oracle instead.
+  */
 object SparkEntry {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** ASCII whitespace split (matches RE2/DuckDB `\s`); documents are ASCII. */
+  private val Ws = "\\s+"
+
+  private def wordCountAscii(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), Ws)).cast("long"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val raw = Pipeline.docsRawFromDocuments(spark, "/root/testdata/sf0.001")
+    Pipeline.score(raw, spark)
+      .select("url", "lang", "sophistication", "avg_stage2", "recommendation",
+        "overall_score", "keep")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship: full quality-filter pipeline (rows-only check) ----
+    "q00_score_label" -> ((s, dir) => {
+      val raw = Pipeline.docsRawFromDocuments(s, dir)
+      Pipeline.score(raw, s)
+        .select(col("url"), col("lang"), round(col("sophistication"), 6).as("sophistication"),
+          round(col("overall_score"), 6).as("overall_score"), col("keep"))
+        .orderBy("url")
+    }),
+
+    // ---- relational core over TPC-H-ish tables ----
+    "q01_lineitem_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_topk_orders" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q03_region_customers" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      // dims are tiny → broadcast (SURVEY.md §2.8 category-dim pattern)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name").as("region"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("c_acctbal"), 2).as("sum_acctbal"))
+        .orderBy("region")
+    }),
+
+    // ---- quality-filter operator family over `documents` ----
+    "q10_langid_stopword" -> ((s, dir) => {
+      val sample = lower(substring(col("text"), 1, 1000))
+      val enCount = graft.lang.LangId.EnglishStopwords10
+        .map(w => when(sample.contains(w), 1).otherwise(0)).reduce(_ + _)
+      docs(s, dir)
+        .select(col("doc_id"), enCount.cast("int").as("en_count"),
+          (enCount >= 3).as("is_en"))
+        .orderBy("doc_id")
+    }),
+
+    "q11_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      val wc = wordCountAscii(t)
+      val dots = (length(t) - length(regexp_replace(t, "\\.", ""))).cast("long")
+      docs(s, dir).select(
+        col("doc_id"),
+        wc.as("word_count"),
+        length(t).cast("long").as("char_count"),
+        dots.as("dot_count"),
+        round(wc.cast("double") / greatest(dots, lit(1L)).cast("double"), 4)
+          .as("avg_sentence_len"))
+        .orderBy("doc_id")
+    }),
+
+    "q12_source_stats" -> ((s, dir) => {
+      docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("source")
+    }),
+
+    "q13_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("dup_key"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+        .orderBy("dup_key")
+    }),
+
+    "q14_token_count" -> ((s, dir) => {
+      val t = col("text")
+      val bpePat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+      docs(s, dir).select(
+        col("doc_id"),
+        wordCountAscii(t).as("ws_tokens"),
+        size(regexp_extract_all(t, lit(bpePat), lit(0))).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "q15_scrub" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), PiiScrub.scrub(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    "q16_minlen_buckets" -> ((s, dir) => {
+      val len = length(trim(col("text")))
+      docs(s, dir)
+        .groupBy(when(len >= 1000, "long").when(len >= 300, "mid")
+          .otherwise("short").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    "q17_events_daily" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    "q18_top_docs_per_source" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("source", "doc_id", "n_chars", "rk")
+        .orderBy("source", "rk")
+    })
+  )
+
+  def oracleSql: Map[String, String] = {
+    val enCountSql = graft.lang.LangId.EnglishStopwords10
+      .map(w => s"(CASE WHEN contains(substr(lower(text),1,1000), '$w') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val wcSql =
+      "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END"
+    Map(
+      "q01_lineitem_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  round(sum(l_extendedprice), 2) AS sum_price,
+          |  round(avg(l_discount), 4) AS avg_disc,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q02_topk_orders" ->
+        """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+          |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+      "q03_region_customers" ->
+        """SELECT r.r_name AS region, count(*) AS n_customers,
+          |  round(sum(c.c_acctbal), 2) AS sum_acctbal
+          |FROM customer c
+          |JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |JOIN region r ON n.n_regionkey = r.r_regionkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q10_langid_stopword" ->
+        s"""SELECT doc_id, CAST($enCountSql AS INT) AS en_count,
+           |  ($enCountSql) >= 3 AS is_en
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q11_text_stats" ->
+        s"""SELECT doc_id,
+           |  $wcSql AS word_count,
+           |  length(text) AS char_count,
+           |  length(text) - length(replace(text, '.', '')) AS dot_count,
+           |  round(CAST($wcSql AS DOUBLE) /
+           |    greatest(length(text) - length(replace(text, '.', '')), 1), 4)
+           |    AS avg_sentence_len
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q12_source_stats" ->
+        """SELECT source, count(*) AS n, round(avg(n_chars), 4) AS avg_chars,
+          |  max(n_chars) AS max_chars
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q13_dedup_exact" ->
+        """SELECT md5(text) AS dup_key, count(*) AS n, min(doc_id) AS keeper
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q14_token_count" ->
+        s"""SELECT doc_id,
+           |  $wcSql AS ws_tokens,
+           |  array_length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           |    AS bpe_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q15_scrub" -> {
+        val steps = (PiiScrub.Battery :+ (PiiScrub.ToxicPattern, "<TOXIC>"))
+        val expr = steps.foldLeft("text") { case (acc, (p, r)) =>
+          val pEsc = p.replace("'", "''")
+          s"regexp_replace($acc, '$pEsc', '$r', 'g')"
+        }
+        s"SELECT doc_id, $expr AS scrubbed FROM documents ORDER BY doc_id"
+      },
+
+      "q16_minlen_buckets" ->
+        """SELECT CASE WHEN length(trim(text)) >= 1000 THEN 'long'
+          |  WHEN length(trim(text)) >= 300 THEN 'mid' ELSE 'short' END AS bucket,
+          |  count(*) AS n
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q17_events_daily" ->
+        """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+          |  round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q18_top_docs_per_source" ->
+        """SELECT source, doc_id, n_chars, rk FROM (
+          |  SELECT source, doc_id, n_chars,
+          |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM documents)
+          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,112 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets
+import java.nio.charset.CodingErrorAction
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** E1 — deterministic HTML → text extraction (SURVEY.md §2.4 E1).
+  *
+  * The reference extracts text from PDF bytes with pdfplumber, falling back
+  * to PyPDF2 on exception (reference: analysis/pdf_processor.py:25-65). The
+  * graft's input is `html: binary` (BASELINE.json input_hint), so the analog
+  * is a deterministic tag-stripping/entity-decoding extractor with the same
+  * rich-parse → simple-strip fallback chain.
+  *
+  * This is the byte-identical-per-url invariant surface: a single canonical
+  * implementation, golden-file tested, used both by the Spark pipeline (as a
+  * UDF — the one documented non-codegen point besides the perplexity scorer)
+  * and by the row-at-a-time oracle.
+  */
+object HtmlText {
+
+  /** Lossy UTF-8 decode: drops malformed byte sequences, mirroring Python's
+    * `bytes.decode('utf-8', errors='ignore')` used throughout the reference
+    * (e.g. enhanced_paper_analyser.py:900).
+    */
+  def decodeUtf8Ignore(bytes: Array[Byte]): String = {
+    if (bytes == null) return ""
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.IGNORE)
+      .onUnmappableCharacter(CodingErrorAction.IGNORE)
+    dec.decode(ByteBuffer.wrap(bytes)).toString
+  }
+
+  // Block-level tags that imply a paragraph/line break when stripped.
+  private val BlockTags =
+    "p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|table|section|article|header|footer|blockquote|pre"
+
+  private val EntityMap: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "#39" -> "'", "nbsp" -> " ",
+    // common Latin-1 named entities seen in web text
+    "eacute" -> "é", "egrave" -> "è", "agrave" -> "à", "ccedil" -> "ç",
+    "uuml" -> "ü", "ouml" -> "ö", "auml" -> "ä", "szlig" -> "ß",
+    "ntilde" -> "ñ", "copy" -> "©", "reg" -> "®", "deg" -> "°",
+    "middot" -> "·", "hellip" -> "…", "mdash" -> "—", "ndash" -> "–",
+    "lsquo" -> "'", "rsquo" -> "'", "ldquo" -> "“", "rdquo" -> "”"
+  )
+
+  private val CommentRe = "(?s)<!--.*?-->".r
+  private val ScriptStyleRe = "(?is)<(script|style|head|noscript)\\b[^>]*>.*?</\\1\\s*>".r
+  private val BlockOpenCloseRe = ("(?is)</?(" + BlockTags + ")\\b[^>]*>").r
+  private val AnyTagRe = "(?s)<[^>]+>".r
+  private val EntityRe = "&(#?[0-9a-zA-Z]+);".r
+
+  private def decodeEntities(s: String): String =
+    EntityRe.replaceAllIn(s, m => {
+      val name = m.group(1)
+      val rep =
+        if (name.startsWith("#x") || name.startsWith("#X"))
+          try String.valueOf(Integer.parseInt(name.drop(2), 16).toChar)
+          catch { case _: Exception => m.matched }
+        else if (name.startsWith("#"))
+          try String.valueOf(Integer.parseInt(name.drop(1)).toChar)
+          catch { case _: Exception => m.matched }
+        else EntityMap.getOrElse(name, m.matched)
+      java.util.regex.Matcher.quoteReplacement(rep)
+    })
+
+  /** Rich extraction: strips comments, script/style/head blocks, turns block
+    * tags into newlines, strips remaining tags, decodes entities, and
+    * normalizes blank-line runs. Analogous to the reference's pdfplumber
+    * page-join with "\n\n" (pdf_processor.py:46-49).
+    */
+  def extractRich(html: String): String = {
+    var s = CommentRe.replaceAllIn(html, "")
+    s = ScriptStyleRe.replaceAllIn(s, "")
+    s = BlockOpenCloseRe.replaceAllIn(s, "\n\n")
+    s = AnyTagRe.replaceAllIn(s, "")
+    s = decodeEntities(s)
+    // normalize: trim each line, collapse 3+ newlines to exactly two
+    s = s.split("\n", -1).map(_.trim).mkString("\n")
+    s = s.replaceAll("\n{3,}", "\n\n")
+    s.trim
+  }
+
+  /** Simple fallback: strip every tag, decode entities. Mirrors the
+    * reference's PyPDF2 fallback (pdf_processor.py:51-59).
+    */
+  def extractSimple(html: String): String =
+    decodeEntities(AnyTagRe.replaceAllIn(html, " ")).trim
+
+  /** Canonical extraction with the fallback chain (try/catch mirrors the
+    * reference's try pdfplumber / except → PyPDF2 at pdf_processor.py:42-59).
+    */
+  def extract(bytes: Array[Byte]): String = {
+    val html = decodeUtf8Ignore(bytes)
+    if (html.isEmpty) return ""
+    try extractRich(html)
+    catch { case _: Exception => extractSimple(html) }
+  }
+
+  /** Column form. A deterministic Scala UDF — the extraction is genuinely
+    * imperative (fallback chain + stateful entity decode), one of the two
+    * sanctioned non-expression points (SURVEY.md §7.3).
+    */
+  private val extractUdf = udf((b: Array[Byte]) => extract(b))
+
+  def extractCol(c: Column): Column = extractUdf(c)
+}

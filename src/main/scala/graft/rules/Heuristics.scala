@@ -1,0 +1,251 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Heuristic quality rules and text statistics (SURVEY.md §2.2, §2.4).
+  *
+  * Everything here is a pure Catalyst expression — no UDFs — so the whole
+  * stats block compiles into one whole-stage-codegen span over the scan.
+  * Each Column function has a plain-Scala mirror (suffix `Str`) used by the
+  * row-at-a-time reference oracle in tests.
+  */
+object Heuristics {
+
+  import graft.extract.Clean.WsRun
+
+  // ------------------------------------------------------------------
+  // E2 — word_count / char_count (reference: analysis/pdf_processor.py:77,84)
+  // Python str.split() semantics: split on unicode-whitespace runs,
+  // leading/trailing ignored, empty string -> 0 tokens.
+  // ------------------------------------------------------------------
+  def wordCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), WsRun)).cast("long"))
+
+  def wordCountStr(t: String): Long =
+    if (t == null || t.trim.isEmpty) 0L else t.trim.split(WsRun).length.toLong
+
+  def charCount(c: Column): Column = length(c).cast("long")
+
+  // ------------------------------------------------------------------
+  // E3 — math-expression count: sum of findall sizes over the 3 basic
+  // patterns (pdf_processor.py:79-80): \$[^$]+\$  \\[a-zA-Z]+  [0-9]+\.[0-9]+
+  // ------------------------------------------------------------------
+  val MathPatterns: Seq[String] =
+    Seq("\\$[^$]+\\$", "\\\\[a-zA-Z]+", "[0-9]+\\.[0-9]+")
+
+  def patternCount(c: Column, pattern: String): Column =
+    when(c.isNull, lit(0L))
+      .otherwise(size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long"))
+
+  def mathExpressionCount(c: Column): Column =
+    MathPatterns.map(patternCount(c, _)).reduce(_ + _)
+
+  def patternCountStr(t: String, pattern: String): Long =
+    if (t == null) 0L else pattern.r.findAllMatchIn(t).length.toLong
+
+  def mathExpressionCountStr(t: String): Long =
+    MathPatterns.map(patternCountStr(t, _)).sum
+
+  // ------------------------------------------------------------------
+  // E4 — reference count (pdf_processor.py:81): \[\d+\]|\(\d{4}\)
+  // Enhanced battery (pdf_processor.py:226-233) adds et al. / Ref. n
+  // ------------------------------------------------------------------
+  val RefPatternBasic = "\\[\\d+\\]|\\(\\d{4}\\)"
+  val RefPatternsEnhanced: Seq[String] =
+    Seq("\\[\\d+\\]", "\\(\\d{4}\\)", "et al\\.", "Ref\\.\\s*\\d+")
+
+  def referenceCount(c: Column): Column = patternCount(c, RefPatternBasic)
+
+  def referenceCountEnhanced(c: Column): Column =
+    RefPatternsEnhanced.map(patternCount(c, _)).reduce(_ + _)
+
+  def referenceCountStr(t: String): Long = patternCountStr(t, RefPatternBasic)
+
+  // ------------------------------------------------------------------
+  // E5 — avg sentence length (pdf_processor.py:88):
+  //   len(words) / max(text.count('.'), 1)
+  // Dot count without a second split: length delta trick (codegen-friendly).
+  // ------------------------------------------------------------------
+  def dotCount(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "\\.", ""))).cast("long")
+
+  def avgSentenceLength(c: Column): Column =
+    wordCount(c).cast("double") / greatest(dotCount(c), lit(1L)).cast("double")
+
+  def avgSentenceLengthStr(t: String): Double = {
+    val dots = if (t == null) 0L else t.count(_ == '.').toLong
+    wordCountStr(t).toDouble / math.max(dots, 1L)
+  }
+
+  // ------------------------------------------------------------------
+  // E6 — keyword occurrence counts. Reference counts OCCURRENCES of exact
+  // lowercased whitespace-tokens that are members of the term list
+  // (pdf_processor.py:208-211: `sum(1 for word in words if word.lower() in
+  // physics_terms)`). array_intersect would dedup — use filter+size.
+  // ------------------------------------------------------------------
+  val PhysicsTerms: Seq[String] = Seq(
+    "energy", "force", "field", "particle", "wave", "quantum",
+    "relativity", "momentum", "mass", "velocity", "acceleration",
+    "electromagnetic", "gravitational", "thermodynamic", "statistical")
+
+  val MathTerms: Seq[String] = Seq(
+    "equation", "formula", "derivative", "integral", "differential",
+    "matrix", "vector", "tensor", "calculation", "proof", "theorem")
+
+  def tokenMembershipCount(c: Column, terms: Seq[String]): Column =
+    when(length(trim(c)) === 0, lit(0L)).otherwise(
+      size(filter(split(trim(c), WsRun),
+        w => array_contains(lit(terms.toArray), lower(w)))).cast("long"))
+
+  def tokenMembershipCountStr(t: String, terms: Seq[String]): Long = {
+    if (t == null || t.trim.isEmpty) return 0L
+    val set = terms.toSet
+    t.trim.split(WsRun).count(w => set.contains(w.toLowerCase)).toLong
+  }
+
+  /** Substring-containment variant (each term counted 0/1) — the gate style
+    * used by P6 (enhanced_paper_analyser.py:163-172): `sum(1 for ind in
+    * indicators if ind in text_sample)`.
+    */
+  def containsMembershipCount(c: Column, terms: Seq[String]): Column =
+    terms.map(t => when(c.contains(t), 1).otherwise(0)).reduce(_ + _).cast("long")
+
+  def containsMembershipCountStr(t: String, terms: Seq[String]): Long =
+    if (t == null) 0L else terms.count(t.contains).toLong
+
+  // ------------------------------------------------------------------
+  // E7/E8 — physics density + content flags (pdf_processor.py:236-249)
+  // density = (physics+math)/max(words,1)*100
+  // ------------------------------------------------------------------
+  def physicsDensity(physics: Column, math0: Column, words: Column): Column =
+    (physics + math0).cast("double") / greatest(words, lit(1L)).cast("double") * 100.0
+
+  def physicsDensityStr(physics: Long, math0: Long, words: Long): Double =
+    (physics + math0).toDouble / math.max(words, 1L) * 100.0
+
+  // Enhanced equation battery (pdf_processor.py:214-223)
+  val EquationPatterns: Seq[String] = Seq(
+    "\\$[^$]+\\$",
+    "\\$\\$[^$]+\\$\\$",
+    "[A-Za-z]\\s*=\\s*[^,.\\n]{3,}",
+    "\\\\frac\\{[^}]+\\}\\{[^}]+\\}",
+    "\\\\int\\s*.*?dx",
+    "\\\\sum\\s*.*?")
+
+  def equationCount(c: Column): Column =
+    EquationPatterns.map(patternCount(c, _)).reduce(_ + _)
+
+  def equationCountStr(t: String): Long =
+    EquationPatterns.map(patternCountStr(t, _)).sum
+
+  // ------------------------------------------------------------------
+  // Full TextStats struct in one withColumn (SURVEY.md §1.3).
+  // ------------------------------------------------------------------
+  def textStats(c: Column): Column = {
+    val wc = wordCount(c)
+    val pt = tokenMembershipCount(c, PhysicsTerms)
+    val mt = tokenMembershipCount(c, MathTerms)
+    val eq = equationCount(c)
+    val dens = physicsDensity(pt, mt, wc)
+    struct(
+      wc.as("word_count"),
+      charCount(c).as("char_count"),
+      mathExpressionCount(c).as("math_expressions"),
+      referenceCount(c).as("reference_count"),
+      avgSentenceLength(c).as("avg_sentence_length"),
+      pt.as("physics_terms"),
+      mt.as("math_terms"),
+      dens.as("physics_density"),
+      eq.as("equation_count"),
+      (dens > 2.0).as("has_substantial_physics"),
+      (eq > 5L).as("has_mathematical_content")
+    )
+  }
+
+  // ------------------------------------------------------------------
+  // P5 — min-content-length gates (enhanced_paper_analyser.py:148 etc.)
+  // Python len(text.strip()) >= k
+  // ------------------------------------------------------------------
+  def minLength(c: Column, k: Int): Column = length(trim(c)) >= k
+
+  // ------------------------------------------------------------------
+  // P6 — domain-term density gate (enhanced_paper_analyser.py:163-172):
+  // substring containment counts over lower(text[:1000]).
+  // ------------------------------------------------------------------
+  val PhysicsIndicators: Seq[String] = Seq(
+    "equation", "theory", "model", "physics", "energy", "force", "field",
+    "quantum", "relativity")
+  val VixraIndicators: Seq[String] = Seq(
+    "gravity", "gravitational", "universe", "cosmic", "space", "time",
+    "mass", "particle")
+
+  def domainTermGate(text: Column, threshold: Int): Column = {
+    val sample = lower(substring(text, 1, 1000))
+    (containsMembershipCount(sample, PhysicsIndicators) +
+      containsMembershipCount(sample, VixraIndicators)) >= threshold
+  }
+
+  // ------------------------------------------------------------------
+  // Gopher/C4-style web-text rules (north_rule additions; SURVEY.md P4-P6
+  // family generalized to web text).
+  // ------------------------------------------------------------------
+
+  /** Fraction of characters that are non-alphanumeric, non-space symbols. */
+  def symbolRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(c, "[\\p{Alnum}\\s]", "")).cast("double") /
+        length(c).cast("double"))
+
+  /** Stopword ratio: stopword tokens / all tokens (Gopher rule: >= ~0.06
+    * of common-word mass for natural English).
+    */
+  def stopwordRatio(c: Column): Column = {
+    val sw = tokenMembershipCount(c, graft.lang.LangId.EnglishStopwords10)
+    when(wordCount(c) === 0, lit(0.0))
+      .otherwise(sw.cast("double") / wordCount(c).cast("double"))
+  }
+
+  /** Duplicate-line fraction: 1 - distinct_lines/lines (repetition signal). */
+  def dupLineFraction(c: Column): Column = {
+    val lines = filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
+    when(size(lines) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
+  }
+
+  /** Duplicate word-n-gram fraction over whitespace tokens (Gopher
+    * repetition rule). Pure higher-order expressions: build n-grams with
+    * transform over index sequence, compare distinct vs total.
+    */
+  def dupNgramFraction(c: Column, n: Int): Column = {
+    val toks = when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(c)), WsRun))
+    val cnt = size(toks) - (n - 1)
+    val grams = when(cnt <= 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), cnt - 1),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
+  }
+
+  /** Mean word length (Gopher: keep 3..10). */
+  def meanWordLength(c: Column): Column = {
+    val toks = split(trim(c), WsRun)
+    when(wordCount(c) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        wordCount(c).cast("double"))
+  }
+
+  /** Composite C4/Gopher keep rule for web text (graft addition — the
+    * pipeline's pre-filter ahead of model scoring; cheap-first ordering per
+    * SURVEY.md §4.1).
+    */
+  def gopherKeep(c: Column): Column =
+    minLength(c, 50) &&
+      wordCount(c).between(10, 200000) &&
+      meanWordLength(c).between(2.0, 12.0) &&
+      symbolRatio(c) < 0.30 &&
+      dupLineFraction(c) < 0.50 &&
+      dupNgramFraction(c, 3) < 0.80
+}
