@@ -163,6 +163,70 @@ object SparkEntry {
         .filter(col("rk") <= 3)
         .select("source", "doc_id", "n_chars", "rk")
         .orderBy("source", "rk")
+    }),
+
+    // ---- dedup family ----
+    "q20_ngram_jaccard" -> ((s, dir) => {
+      graft.dedup.Dedup.ngramJaccardPairs(
+        docs(s, dir).filter(col("doc_id") < 20), "doc_id", "text", n = 1)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q21_minhash_sigs" -> ((s, dir) => {
+      // per-doc MinHash signature + LSH band buckets (rows-only check;
+      // pair-finding correctness is ScalaTest-verified on planted dups)
+      val d = docs(s, dir)
+      d.select(col("doc_id"),
+        graft.dedup.Dedup.shingles(col("text"), 3).as("sh"))
+        .withColumn("sig", graft.dedup.Dedup.minhashSignature(col("sh"), 32))
+        .withColumn("buckets", graft.dedup.Dedup.bandKeys(col("sig"), 8, 4))
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+          xxhash64(col("sig")).as("sig_hash"), col("buckets"))
+        .orderBy("doc_id")
+    }),
+
+    "q22_simhash" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), graft.dedup.Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search ----
+    "q23_ann_brute" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.similarity.Ann.bruteForceTopK(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rk")
+    }),
+
+    "q24_ann_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.similarity.Ann.lshTopK(
+        e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 3, numPlanes = 4)
+        .orderBy("query_id", "rk")
+    }),
+
+    "q25_cos_neardup" -> ((s, dir) => {
+      graft.similarity.Ann.cosineNearDupPairs(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- text analysis ----
+    "q26_quality_score" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.textanalysis.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q27_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.textanalysis.TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -249,7 +313,67 @@ object SparkEntry {
           |  SELECT source, doc_id, n_chars,
           |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
           |  FROM documents)
-          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+          |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+      "q20_ngram_jaccard" ->
+        """WITH t AS (
+          |  SELECT DISTINCT doc_id,
+          |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents WHERE doc_id < 20 AND length(trim(text)) > 0),
+          |sz AS (SELECT doc_id, count(*) AS n FROM t GROUP BY 1),
+          |c AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT c.id_a, c.id_b, c.inter,
+          |  round(CAST(c.inter AS DOUBLE) / (sa.n + sb.n - c.inter), 6) AS jaccard
+          |FROM c JOIN sz sa ON sa.doc_id = c.id_a JOIN sz sb ON sb.doc_id = c.id_b
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q23_ann_brute" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_dot_product(q.v, c.v) /
+          |      sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cos
+          |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 3
+          |ORDER BY query_id, rk""".stripMargin,
+
+      "q26_quality_score" -> {
+        val stopSum = graft.lang.LangId.EnglishStopwords10
+          .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1.0 ELSE 0.0 END)")
+          .mkString(" + ")
+        s"""WITH d AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+           |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           |  FROM documents)
+           |SELECT doc_id, round(least(1.0,
+           |    least(1.0, length(text) / 1000.0) * 0.25
+           |  + least(1.0, array_length(toks) / 200.0) * 0.25
+           |  + (($stopSum) / 10.0) * 0.25
+           |  + (CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           |           / length(text) END) * 0.25), 6) AS quality
+           |FROM d ORDER BY doc_id""".stripMargin
+      },
+
+      "q27_fingerprint" ->
+        """SELECT doc_id,
+          |  CASE WHEN length(text) = 0 THEN 0 ELSE
+          |    list_reduce(
+          |      list_prepend(CAST(0 AS BIGINT),
+          |        list_transform(regexp_extract_all(text, '[\s\S]'),
+          |                       ch -> CAST(ascii(ch) AS BIGINT))),
+          |      (a, b) -> (a * 31 + b) % 2147483647)
+          |  END AS fp
+          |FROM documents ORDER BY doc_id""".stripMargin
     )
   }
 }

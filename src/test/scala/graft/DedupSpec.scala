@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.textanalysis.TextAnalysis
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank " * 8
+  private val nearDup = base.replace("lazy dog", "sleepy dog") // few tokens differ
+  private val unrelated = "completely different content about quantum field theory and gravity waves " * 8
+
+  private lazy val df = Seq(
+    (1L, base), (2L, base), (3L, nearDup), (4L, unrelated), (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(df, "doc_id", "text")
+      .filter(col("n_dups") > 1).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("keeper") == 1L)
+    assert(r(0).getAs[Long]("n_dups") == 2L)
+    val survivors = Dedup.exactSurvivors(df, "doc_id", "text")
+    assert(survivors.count() == 4) // 2 collapses into 1
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("minhash jaccard estimates match exact jaccard on the verified pair") {
+    val r = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 2).head()
+    assert(r.getAs[Double]("jaccard") == 1.0) // identical docs
+  }
+
+  test("simhash: identical texts agree; near dups are close; unrelated far") {
+    val sigs = df.filter(length(col("text")) > 0)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 12,
+      s"near dup hamming too large: ${java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))}")
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(4L)) > 12,
+      s"unrelated docs too close: ${java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))}")
+  }
+
+  test("simhashPairs surfaces the exact-dup pair via chunk banding") {
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard pairs: identical docs score 1.0, manual value checks") {
+    val tiny = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b x"), (4L, "z z z"))
+      .toDF("doc_id", "text")
+    val m = Dedup.ngramJaccardPairs(tiny, "doc_id", "text", n = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m((1L, 3L)) == 0.5) // {a,b,c} vs {a,b,x}: 2/4
+    assert(!m.contains((1L, 4L))) // no shared tokens → inner-join semantics
+  }
+
+  test("rolling fingerprint: Column and String mirrors agree") {
+    val inputs = Seq("hello world", "", "a", base, "café π∂")
+    val got = inputs.toDF("t")
+      .select(TextAnalysis.rollingFingerprint(col("t")).as("fp"))
+      .collect().map(_.getLong(0))
+    val want = inputs.map(TextAnalysis.rollingFingerprintStr)
+    assert(got.toSeq == want)
+  }
+
+  test("minhash signature is partition-invariant") {
+    val many = spark.range(0, 50).select(col("id").as("doc_id"),
+      concat(lit("doc text sample number "), col("id"),
+        lit(" with shared suffix words here")).as("text"))
+    val a = many.coalesce(1)
+      .select(col("doc_id"), xxhash64(Dedup.minhashSignature(
+        Dedup.shingles(col("text"), 3), 32)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = many.repartition(7)
+      .select(col("doc_id"), xxhash64(Dedup.minhashSignature(
+        Dedup.shingles(col("text"), 3), 32)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}
