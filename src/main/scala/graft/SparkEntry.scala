@@ -227,6 +227,39 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.textanalysis.TextAnalysis.rollingFingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // ---- derived datasets (deterministic synthetic corpus; rows-only —
+    // the driver's documents table is DB jargon and legitimately fails the
+    // physics-suitability gates, so the fixture corpus exercises these) ----
+    "q30_training_examples" -> ((s, dir) => {
+      val raw = graft.fixtures.SynthCorpus.docsRaw(s, 400, 8).toDF()
+      val extracted = raw.withColumn("text",
+        graft.extract.Clean.basicClean(graft.extract.HtmlText.extractCol(col("html"))))
+        .withColumn("subject", lit("Physics"))
+      graft.derive.Derive.trainingExamples(extracted, "url", "text", "subject")
+        .select("id", "url", "example_type", "problem_statement", "step_count",
+          "difficulty", "topic", "reasoning_type", "quality_score")
+        .orderBy("id")
+    }),
+
+    "q31_benchmark_items" -> ((s, dir) => {
+      val raw = graft.fixtures.SynthCorpus.docsRaw(s, 400, 8).toDF()
+      val extracted = raw.withColumn("text",
+        graft.extract.Clean.basicClean(graft.extract.HtmlText.extractCol(col("html"))))
+        .withColumn("subject", lit("Physics"))
+        .withColumn("title", lit("3 Pages. A Study of Planted Physics Fragments"))
+        .withColumn("abstract", substring(col("text"), 1, 1200))
+      graft.derive.Derive.benchmarkItems(extracted, "url", "text", "subject",
+        "title", "abstract")
+        .select("url", "clean_title", "n_questions")
+        .orderBy("url")
+    }),
+
+    // ---- salted aggregation (A8): provably identical to the plain agg ----
+    "q32_salted_stats" -> ((s, dir) => {
+      graft.agg.DomainStats.saltedStats(docs(s, dir), "source", "text", "n_chars")
+        .orderBy("source")
     })
   )
 
@@ -373,7 +406,15 @@ object SparkEntry {
           |                       ch -> CAST(ascii(ch) AS BIGINT))),
           |      (a, b) -> (a * 31 + b) % 2147483647)
           |  END AS fp
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // the salted two-phase aggregate must equal the plain GROUP BY —
+      // DuckDB computes the plain version, proving the salting is lossless
+      "q32_salted_stats" ->
+        """SELECT source, count(*) AS n,
+          |  round(avg(n_chars), 6) AS avg_value,
+          |  round(CAST(sum(n_chars) AS DOUBLE), 6) AS sum_value
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -99,6 +99,14 @@ object SynthCorpus {
         else if (p < 0.05) sb.append(PiiPlants(rnd.nextInt(PiiPlants.length))).append(' ')
         else if (p < 0.055) sb.append("ﬁnite ﬂow α partial ∂ ")
         else if (p < 0.06) sb.append("héllo wörld non-ascii ")
+        // derivation/solution blocks for the derived-dataset extractors
+        // (FIXTURES.md §2 "Equation/derivation blocks")
+        else if (p < 0.07) sb.append(
+          "Starting with the energy equation for the field we obtain the mass result. ")
+        else if (p < 0.08) sb.append(
+          "Using the force equation and the field terms we obtain the velocity of the particle. ")
+        else if (p < 0.09) sb.append(
+          "Problem: calculate the energy of the particle. Solution: We have E = m c^2. Therefore the energy is E = 42 J. ")
       }
     }
     sb.toString.take(targetLen + 200) // bounded; boundary lens stay exact-ish
