@@ -1,24 +1,140 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark harness (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, plus a steady-state quality-filter throughput
+  * measurement on the synthetic corpus, and prints ONE JSON line.
+  *
+  * Protocol (BASELINE.md): a warm-up pass first (JIT + codegen + broadcast
+  * warm), then the measured pass — throughput is steady-state docs/sec,
+  * not cold-start.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "40000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // ---- warm-up: JIT, codegen caches, parquet footers ----
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    try SparkEntry.queries("q01_lineitem_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    // ---- per-query timings (single measured pass each) ----
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- steady-state filter throughput (the BASELINE.md headline) ----
+    def pipelineCount(n: Long): (Long, Double) = {
+      val raw = graft.fixtures.SynthCorpus.docsRaw(spark, n, cpus.toInt).toDF()
+      val t0 = System.nanoTime()
+      val kept = Pipeline.score(raw, spark)
+        .agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()
+      (kept.getLong(0), (System.nanoTime() - t0) / 1e9)
+    }
+    pipelineCount(math.min(benchDocs / 4, 10000L)) // warm-up pass
+    val (nDocs, secs) = pipelineCount(benchDocs)
+    val docsPerSec = nDocs / secs
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"bench_docs":$nDocs,"pipeline_sec":$secs%.3f,"cpus":$cpus}""")
+    spark.stop()
+  }
+}
+
+/** Interleaved A/B scaling measurement: alternates local[8] and local[32]
+  * sessions in ONE JVM (shared JIT, fair comparison) and reports the min
+  * time per configuration — the steal-free estimate on this bursty-steal
+  * sandbox VM. Prints one JSON line with both throughputs + efficiency.
+  */
+object ScalingAB {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "3").toInt
+    val small = sys.env.getOrElse("SPARK_GRAFT_AB_SMALL", "8").toInt
+    val large = small * 4
+    def session(cpus: Int): SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    def run(spark: SparkSession, docs: Long, parts: Int): Double = {
+      val raw = graft.fixtures.SynthCorpus.docsRaw(spark, docs, parts).toDF()
+      val t0 = System.nanoTime()
+      Pipeline.score(raw, spark)
+        .agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var best8 = Double.MaxValue
+    var best32 = Double.MaxValue
+    (1 to rounds).foreach { r =>
+      for (cpus <- Seq(small, large)) {
+        val spark = session(cpus)
+        spark.sparkContext.setLogLevel("WARN")
+        if (r == 1) run(spark, math.min(n / 4, 10000L), cpus * 4) // warm-up
+        val s = run(spark, n, cpus * 4)
+        if (cpus == small) best8 = math.min(best8, s) else best32 = math.min(best32, s)
+        System.err.println(f"[scaling] round $r cpus=$cpus ${s}%.2f s")
+        spark.stop()
+      }
+    }
+    val t8 = n / best8
+    val t32 = n / best32
+    val eff = t32 / (4.0 * t8)
+    println(f"""{"docs":$n,"rounds":$rounds,"n_cores":$small,"t_n_docs_per_sec":$t8%.1f,"t_4n_docs_per_sec":$t32%.1f,"efficiency":$eff%.3f}""")
+  }
+}
+
+/** Scaling-evidence runner (north_rule: throughput at N vs 4N parallelism).
+  * Runs the full quality-filter pipeline at the current SPARK_GRAFT_CPUS and
+  * prints one JSON line; the scaling report runs it at 8 and 32.
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "80000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def run(docs: Long, parts: Int): Double = {
+      val raw = graft.fixtures.SynthCorpus.docsRaw(spark, docs, parts).toDF()
+      val t0 = System.nanoTime()
+      Pipeline.score(raw, spark)
+        .agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // partitions = 4x cores so scheduling is work-stealing-shaped at both sizes
+    run(math.min(n / 4, 10000L), cpus * 4) // warm-up
+    // min-of-3: the sandbox VM sees bursty hypervisor CPU steal; the minimum
+    // is the steal-free estimate (BASELINE.md protocol)
+    val secs = (1 to 3).map(_ => run(n, cpus * 4)).min
+    println(f"""{"cpus":$cpus,"docs":$n,"sec":$secs%.3f,"docs_per_sec":${n / secs}%.1f}""")
     spark.stop()
   }
 }

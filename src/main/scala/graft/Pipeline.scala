@@ -54,8 +54,12 @@ object Pipeline {
   def score(docsRaw: DataFrame, spark: SparkSession,
             cfg: Config = Config()): DataFrame = {
     // E1 + C1: extraction and basic clean — THE byte-identical surface.
+    // The html blob is dropped immediately after extraction: it would
+    // otherwise be serialized through the mapPartitions stage (4KB+/row of
+    // pure memory traffic — at 10^12 docs that is petabytes of wasted I/O).
     val extracted = docsRaw
       .withColumn("text", Clean.basicClean(HtmlText.extractCol(col("html"))))
+      .drop("html")
 
     // P4: langid (fastText-style hashed n-gram model, broadcast).
     val withLang = LangId.withLangNgram(extracted, "text", "lang", spark)

@@ -210,7 +210,7 @@ object SparkEntry {
     "q25_cos_neardup" -> ((s, dir) => {
       graft.similarity.Ann.cosineNearDupPairs(
         tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, numPlanes = 4)
+        threshold = 0.35, numPlanes = 6)
         .orderBy("id_a", "id_b")
     }),
 
@@ -260,6 +260,28 @@ object SparkEntry {
     "q32_salted_stats" -> ((s, dir) => {
       graft.agg.DomainStats.saltedStats(docs(s, dir), "source", "text", "n_chars")
         .orderBy("source")
+    }),
+
+    // ---- multimodal plumbing (binary blobs + batched feature extraction;
+    // decode is a deterministic stub — no codec libs in the container) ----
+    "q33_media_features" -> ((s, dir) => {
+      val media = graft.multimodal.Media.mediaFromBinary(
+        docs(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
+        "doc_id", "blob", "image")
+      graft.multimodal.Media.withFeatures(media, "bytes", "features")
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          size(col("features")).as("feature_dim"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .orderBy("media_id")
+    }),
+
+    "q34_blob_stats" -> ((s, dir) => {
+      val blob = encode(col("text"), "UTF-8")
+      docs(s, dir).select(
+        col("doc_id"),
+        length(blob).cast("long").as("n_bytes"),
+        md5(blob).as("content_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -414,7 +436,11 @@ object SparkEntry {
         """SELECT source, count(*) AS n,
           |  round(avg(n_chars), 6) AS avg_value,
           |  round(CAST(sum(n_chars) AS DOUBLE), 6) AS sum_value
-          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q34_blob_stats" ->
+        """SELECT doc_id, octet_length(text) AS n_bytes, md5(text) AS content_md5
+          |FROM documents ORDER BY doc_id""".stripMargin
     )
   }
 }

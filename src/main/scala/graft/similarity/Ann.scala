@@ -34,10 +34,16 @@ object Ann {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms are precomputed per ROW on each side — the naive cosine(q, c)
+    // would re-evaluate both self-dot-products per PAIR (3x the work, and
+    // higher-order lambdas are interpreted, not codegen'd)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -76,11 +82,14 @@ object Ann {
     val planes = hyperplanes(numPlanes, dim)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), planes))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos",
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -96,11 +105,13 @@ object Ann {
     val planes = hyperplanes(numPlanes, dim)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos").distinct()
   }
