@@ -439,7 +439,7 @@ object SparkEntry {
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q34_blob_stats" ->
-        """SELECT doc_id, octet_length(text) AS n_bytes, md5(text) AS content_md5
+        """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
           |FROM documents ORDER BY doc_id""".stripMargin
     )
   }
