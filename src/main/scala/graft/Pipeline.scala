@@ -129,8 +129,14 @@ object Pipeline {
     }(Encoders.row(outSchema))
   }
 
-  /** M3 + M4 + P1 + C13: recommendation, overall score, keep label, scrub. */
-  private def finish(df: DataFrame, cfg: Config): DataFrame =
+  /** M3 + M4 + P1 + C13: recommendation, overall score, keep label, scrub.
+    * The scrub runs as the native single-pass Catalyst expression
+    * (graft.functions.PiiScrubExpr) — one string boundary crossing instead
+    * of six chained regexp_replace materializations; identical output by
+    * construction (both run PiiScrub's compiled battery).
+    */
+  private def finish(df: DataFrame, cfg: Config): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df
       .withColumn("recommendation",
         Stages.recommendation(col("stage1_pass"), col("sophistication"), col("avg_stage2")))
@@ -138,7 +144,8 @@ object Pipeline {
         Score.overall(col("stage1_pass"), col("sophistication"),
           col("avg_stage2"), col("recommendation")))
       .withColumn("keep", col("overall_score") >= cfg.keepThreshold)
-      .withColumn("scrubbed_text", PiiScrub.scrub(col("text")))
+      .withColumn("scrubbed_text", call_function("pii_scrub", col("text")))
+  }
 
   /** Canonical docs_raw synthesis from the driver's `documents` table —
     * deterministic html wrapping so the extraction path is exercised

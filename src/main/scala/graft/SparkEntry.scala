@@ -275,6 +275,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- sessionization over the events stream table (gap > 30 min) ----
+    "q35_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapped = tbl(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      gapped.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .as("duration_s"))
+        .orderBy("user_id", "session_id")
+    }),
+
     "q34_blob_stats" -> ((s, dir) => {
       val blob = encode(col("text"), "UTF-8")
       docs(s, dir).select(
@@ -440,7 +459,25 @@ object SparkEntry {
 
       "q34_blob_stats" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
-          |FROM documents ORDER BY doc_id""".stripMargin
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q35_sessions" ->
+        """WITH g AS (
+          |  SELECT user_id, event_id, ts, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (
+          |  SELECT user_id, event_id, ts, value,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |  FROM g)
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |  round(sum(value), 2) AS sum_value,
+          |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
   }
 }

@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.scrub.PiiScrub
+
+/** C13 as a native Catalyst expression (SURVEY.md §2.3 C13: "custom
+  * Catalyst Expression (codegen-friendly, compile-once-per-task)").
+  *
+  * Compared to the 6-deep `regexp_replace` chain, this evaluates the whole
+  * PII/toxicity battery in ONE expression node: one UTF8String→String
+  * conversion in, one out, patterns compiled once per JVM (static), and a
+  * `doGenCode` body that stays inside whole-stage codegen (a single static
+  * call — no virtual dispatch, no per-row pattern lookup).
+  *
+  * Semantics are identical to PiiScrub.scrub by construction — both sides
+  * call the same compiled battery (`PiiScrub.scrubStr`).
+  */
+case class PiiScrubExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(PiiScrub.scrubStr(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.scrub.PiiScrub.scrubStr($c.toString()))")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiScrubExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "pii_scrub"
+}
+
+/** Registration of graft-native SQL functions on a session (the
+  * SparkSessionExtensions-equivalent entry point — injectable via
+  * `.withExtensions(GraftFunctions.injectAll)` on a fresh builder, or
+  * registered post-hoc on an existing session).
+  */
+object GraftFunctions {
+
+  /** Register on a live session. Idempotent. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pii_scrub", exprs => PiiScrubExpr(exprs.head), "built-in")
+  }
+
+  /** SparkSessionExtensions injection point (for spark-submit via
+    * spark.sql.extensions=graft.functions.GraftExtensions).
+    */
+  def injectAll(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("pii_scrub"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PiiScrubExpr].getName, "pii_scrub"),
+      (exprs: Seq[Expression]) => PiiScrubExpr(exprs.head)))
+  }
+}
+
+/** `spark.sql.extensions` entry class. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.injectAll(ext)
+}
