@@ -53,20 +53,30 @@ object Pipeline {
   /** Full scoring pipeline: docs_raw → docs_scored. */
   def score(docsRaw: DataFrame, spark: SparkSession,
             cfg: Config = Config()): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+
     // E1 + C1: extraction and basic clean — THE byte-identical surface.
-    // The html blob is dropped immediately after extraction: it would
-    // otherwise be serialized through the mapPartitions stage (4KB+/row of
-    // pure memory traffic — at 10^12 docs that is petabytes of wasted I/O).
+    // Both run as single-pass scanners (BasicCleanExpr fuses the two regex
+    // rewrites). The html blob is dropped immediately after extraction: it
+    // would otherwise be serialized through the mapPartitions stage
+    // (4KB+/row of pure memory traffic — at 10^12 docs that is petabytes).
     val extracted = docsRaw
-      .withColumn("text", Clean.basicClean(HtmlText.extractCol(col("html"))))
+      .withColumn("text",
+        call_function("graft_basic_clean", HtmlText.extractCol(col("html"))))
       .drop("html")
 
     // P4: langid (fastText-style hashed n-gram model, broadcast).
     val withLang = LangId.withLangNgram(extracted, "text", "lang", spark)
 
-    // E2–E9 as one struct + cheap gates.
+    // E2–E9 as one struct + cheap gates. The tokenize-and-count core and
+    // the 10-pattern count battery each run as one fused native expression
+    // (one tokenization + hash-set membership; find()-only pattern loops).
     val withStats = withLang
-      .withColumn("stats", Heuristics.textStats(col("text")))
+      .withColumn("__ts", call_function("graft_token_stats", col("text")))
+      .withColumn("__pc", call_function("graft_pattern_counts", col("text")))
+      .withColumn("stats",
+        Heuristics.textStatsFused(col("text"), col("__ts"), col("__pc")))
+      .drop("__ts", "__pc")
       .withColumn("eligible", eligible(col("text"), col("url"), cfg.minTextLength))
 
     // M1 stage-1 gate (computed for all rows; pass requires eligibility —

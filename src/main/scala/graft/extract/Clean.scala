@@ -49,6 +49,33 @@ object Clean {
   // ligatures are already removed by the non-ASCII strip, so the replaces
   // are dead code there too. Kept for byte-identical parity.
 
+  /** Single-pass C1: identical output to basicCleanStr (two regex rewrites
+    * fused into one scan — the pipeline hot path). Key subtlety preserved:
+    * the reference collapses \s+ BEFORE stripping non-ASCII, so a ws-run
+    * broken by a non-ASCII char yields TWO spaces; emitting one space per
+    * ws-RUN (not per gap) reproduces that exactly (equality property-tested
+    * in StatsFusedSpec).
+    */
+  def basicCleanFastStr(t: String): String = {
+    if (t == null || t.isEmpty) return ""
+    val n = t.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var prevWs = false
+    while (i < n) {
+      val c = t.charAt(i)
+      if (graft.rules.TokenStats.isUnicodeWs(c)) {
+        if (!prevWs) sb.append(' ')
+        prevWs = true
+      } else {
+        prevWs = false
+        if (c <= 0x7F) sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString.trim
+  }
+
   // ---------------------------------------------------------------------
   // C2 — enhanced clean (reference: analysis/pdf_processor.py:138-168)
   // ligatures; Greek->names; space around [=+-*/]; \s+ collapse; then the

@@ -69,21 +69,83 @@ object HtmlText {
       java.util.regex.Matcher.quoteReplacement(rep)
     })
 
+  private val BlockTagSet: Set[String] = BlockTags.split('|').toSet
+  private val SkipTagSet: Set[String] = Set("script", "style", "head", "noscript")
+
   /** Rich extraction: strips comments, script/style/head blocks, turns block
     * tags into newlines, strips remaining tags, decodes entities, and
     * normalizes blank-line runs. Analogous to the reference's pdfplumber
     * page-join with "\n\n" (pdf_processor.py:46-49).
+    *
+    * Implemented as a SINGLE-PASS scanner: the original 4-regex-pass chain
+    * materialized four full copies of the page per document — pure memory
+    * traffic, which is the measured scaling bottleneck on string pipelines
+    * (BENCH/BASELINE.md §2). One forward scan allocates one output buffer.
     */
   def extractRich(html: String): String = {
-    var s = CommentRe.replaceAllIn(html, "")
-    s = ScriptStyleRe.replaceAllIn(s, "")
-    s = BlockOpenCloseRe.replaceAllIn(s, "\n\n")
-    s = AnyTagRe.replaceAllIn(s, "")
-    s = decodeEntities(s)
+    val n = html.length
+    val sb = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          // parse tag name (skip optional '/')
+          var j = i + 1
+          val closing = j < n && html.charAt(j) == '/'
+          if (closing) j += 1
+          val nameStart = j
+          while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          if (!closing && SkipTagSet.contains(name)) {
+            // skip to the matching close tag (case-insensitive), then to '>'
+            val close = "</" + name
+            var k = i + 1
+            var found = -1
+            while (found < 0 && k >= 0 && k < n) {
+              k = html.indexOf('<', k)
+              if (k < 0) found = -2
+              else if (k + close.length <= n &&
+                html.regionMatches(true, k, close, 0, close.length)) found = k
+              else k += 1
+            }
+            if (found >= 0) {
+              val gt = html.indexOf('>', found)
+              i = if (gt < 0) n else gt + 1
+            } else i = n
+          } else {
+            if (BlockTagSet.contains(name)) sb.append("\n\n")
+            val gt = html.indexOf('>', i)
+            i = if (gt < 0) n else gt + 1
+          }
+        }
+      } else if (c == '&') {
+        // inline entity decode: &name; or &#nnn; or &#xhh; within 12 chars
+        val semi = html.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 12) {
+          val name = html.substring(i + 1, semi)
+          val rep: String =
+            if (name.startsWith("#x") || name.startsWith("#X"))
+              try String.valueOf(Integer.parseInt(name.substring(2), 16).toChar)
+              catch { case _: Exception => null }
+            else if (name.startsWith("#"))
+              try String.valueOf(Integer.parseInt(name.substring(1)).toChar)
+              catch { case _: Exception => null }
+            else EntityMap.getOrElse(name, null)
+          if (rep != null) { sb.append(rep); i = semi + 1 }
+          else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
     // normalize: trim each line, collapse 3+ newlines to exactly two
-    s = s.split("\n", -1).map(_.trim).mkString("\n")
-    s = s.replaceAll("\n{3,}", "\n\n")
-    s.trim
+    val s = sb.toString.split("\n", -1).map(_.trim).mkString("\n")
+    s.replaceAll("\n{3,}", "\n\n").trim
   }
 
   /** Simple fallback: strip every tag, decode entities. Mirrors the

@@ -39,6 +39,24 @@ case class PiiScrubExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "pii_scrub"
 }
 
+/** C1 basic clean as a native single-pass expression — same output as the
+  * regexp chain (Clean.basicClean) by the fused-scan argument documented at
+  * Clean.basicCleanFastStr; parity-tested.
+  */
+case class BasicCleanExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.extract.Clean.basicCleanFastStr(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.extract.Clean.basicCleanFastStr($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): BasicCleanExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_basic_clean"
+}
+
 /** Registration of graft-native SQL functions on a session (the
   * SparkSessionExtensions-equivalent entry point — injectable via
   * `.withExtensions(GraftFunctions.injectAll)` on a fresh builder, or
@@ -48,8 +66,17 @@ object GraftFunctions {
 
   /** Register on a live session. Idempotent. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "pii_scrub", exprs => PiiScrubExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_token_stats",
+      exprs => graft.rules.TokenStatsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_pattern_counts",
+      exprs => graft.rules.PatternCountsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_basic_clean", exprs => BasicCleanExpr(exprs.head), "built-in")
   }
 
   /** SparkSessionExtensions injection point (for spark-submit via

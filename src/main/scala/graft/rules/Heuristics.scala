@@ -164,6 +164,34 @@ object Heuristics {
     )
   }
 
+  /** textStats assembled from the fused single-pass TokenStats expression
+    * (`ts` = graft_token_stats(text)): identical fields/values to
+    * `textStats(c)` with the tokenize-and-count work done once
+    * (see graft.rules.TokenStats; parity property-tested).
+    */
+  def textStatsFused(c: Column, ts: Column, pc: Column): Column = {
+    val wc = ts.getField("word_count")
+    val pt = ts.getField("physics_terms")
+    val mt = ts.getField("math_terms")
+    val dots = ts.getField("dot_count")
+    val eq = pc.getField("equation_count")
+    val dens = physicsDensity(pt, mt, wc)
+    struct(
+      wc.as("word_count"),
+      charCount(c).as("char_count"),
+      pc.getField("math_expressions").as("math_expressions"),
+      pc.getField("reference_count").as("reference_count"),
+      (wc.cast("double") / greatest(dots, lit(1L)).cast("double"))
+        .as("avg_sentence_length"),
+      pt.as("physics_terms"),
+      mt.as("math_terms"),
+      dens.as("physics_density"),
+      eq.as("equation_count"),
+      (dens > 2.0).as("has_substantial_physics"),
+      (eq > 5L).as("has_mathematical_content")
+    )
+  }
+
   // ------------------------------------------------------------------
   // P5 — min-content-length gates (enhanced_paper_analyser.py:148 etc.)
   // Python len(text.strip()) >= k

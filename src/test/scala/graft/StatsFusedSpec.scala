@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.rules.{Heuristics, TokenStats}
+
+/** Fused TokenStats must equal the pure-Catalyst textStats field-for-field
+  * — on fixture texts and on whitespace/unicode edge cases.
+  */
+class StatsFusedSpec extends SparkTestBase {
+  import spark.implicits._
+
+  GraftFunctions.register(spark)
+
+  private val edgeCases = Seq(
+    "", " ", "one", "energy force matrix proof",
+    "ENERGY Force. mass..", "a b c d", // NBSP-family spaces
+    "xy", // U+001D: python-\s yes, unicode White_Space no — our regex
+                // (?U)\s treats it as NON-space; scanner must agree
+    "tab\tsep\nnl", "dots... everywhere. 3.14",
+    "  leading trailing  ", "equation energy equation energy")
+
+  test("fused token stats equal the regex mirrors on edge cases") {
+    for (t <- edgeCases) {
+      val a = TokenStats.compute(t)
+      assert(a(0) == Heuristics.wordCountStr(t), s"wc <$t>")
+      assert(a(1) == Heuristics.tokenMembershipCountStr(t, Heuristics.PhysicsTerms), s"pt <$t>")
+      assert(a(2) == Heuristics.tokenMembershipCountStr(t, Heuristics.MathTerms), s"mt <$t>")
+      assert(a(3) == (if (t == null) 0L else t.count(_ == '.').toLong), s"dots <$t>")
+    }
+  }
+
+  test("fused struct equals pure-Catalyst textStats on the fixture corpus") {
+    val texts = graft.fixtures.SynthCorpus.docsRaw(spark, 150, 4).toDF()
+      .withColumn("text",
+        graft.extract.Clean.basicClean(graft.extract.HtmlText.extractCol(col("html"))))
+      .select("url", "text")
+    val fused = texts
+      .withColumn("ts", call_function("graft_token_stats", col("text")))
+      .withColumn("pc", call_function("graft_pattern_counts", col("text")))
+      .withColumn("stats",
+        Heuristics.textStatsFused(col("text"), col("ts"), col("pc")))
+      .select(col("url"), col("stats"))
+    val plain = texts.withColumn("stats", Heuristics.textStats(col("text")))
+      .select(col("url"), col("stats"))
+    val joined = fused.as("f").join(plain.as("p"), "url")
+      .filter(col("f.stats") =!= col("p.stats"))
+    assert(joined.count() == 0)
+  }
+
+  test("basicCleanFast equals the regex chain on edge cases and corpus") {
+    val cases = edgeCases ++ Seq("caf\u00e9 \ufb01 x", "a \u00e9 b", "x=\u03b1+1 \n 42")
+    for (t <- cases)
+      assert(graft.extract.Clean.basicCleanFastStr(t) == graft.extract.Clean.basicCleanStr(t),
+        s"<$t>")
+    val texts = graft.fixtures.SynthCorpus.docsRaw(spark, 100, 4).toDF()
+      .select(graft.extract.HtmlText.extractCol(col("html")).as("raw"))
+    val bad = texts.filter(
+      call_function("graft_basic_clean", col("raw")) =!=
+        graft.extract.Clean.basicClean(col("raw"))).count()
+    assert(bad == 0)
+  }
+
+  test("fused pattern counts equal the regexp_extract_all battery") {
+    val cases = Seq("$x=1$ and $$y$$ \\frac{a}{b} 3.14 [1] (2023) E = mc2 more",
+      "", "no patterns here", "\\int f dx \\sum x [12] et al. Ref. 3")
+    for (t <- cases) {
+      val a = graft.rules.PatternCounts.compute(t)
+      assert(a(0) == Heuristics.mathExpressionCountStr(t), s"math <$t>")
+      assert(a(1) == Heuristics.referenceCountStr(t), s"ref <$t>")
+      assert(a(2) == Heuristics.equationCountStr(t), s"eq <$t>")
+    }
+  }
+
+  test("fused expression is codegen-compatible") {
+    val df = spark.range(3).select(
+      call_function("graft_token_stats",
+        concat(lit("energy proof x"), col("id").cast("string"))).as("ts"))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    val r = df.select(col("ts.word_count"), col("ts.physics_terms")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
+  }
+}
