@@ -32,7 +32,10 @@ object Pipeline {
       /** analysis depth: "basic" skips stage 2/3 (P3, classifier.py:107-116) */
       depth: String = "full",
       minTextLength: Int = 300, // P5 (enhanced_paper_analyser.py:148)
-      keepThreshold: Double = Score.KeepThreshold
+      keepThreshold: Double = Score.KeepThreshold,
+      /** broadcast + mapPartitions scorer instead of the native expression
+        * (the path for externally-trained model files). */
+      useMapPartitionsScorer: Boolean = false
   )
 
   /** Suitability gate — the reference's benchmark-suitability check
@@ -97,10 +100,18 @@ object Pipeline {
         .withColumn("avg_stage2", lit(5.0)), cfg)
     }
 
-    // M2: perplexity — the one mapPartitions stage. Computed only for rows
-    // that passed stage 1 (cheap-first; failures get the defensive ceiling
-    // and score 0 regardless).
-    val withPpl = withPerplexityGated(withStage1, spark)
+    // M2: perplexity. The model is code-embedded and deterministic, so the
+    // default path scores through a native expression over the JVM-static
+    // model — keeping the ENTIRE pipeline one whole-stage-codegen span with
+    // no mapPartitions fence and no Row serialization. The `when` gate is
+    // lazy per-row: stage-1 failures skip the model (cheap-first ordering,
+    // classifier.py:102-104). Set useMapPartitionsScorer for externally-
+    // trained models that must ship via broadcast.
+    val withPpl =
+      if (cfg.useMapPartitionsScorer) withPerplexityGated(withStage1, spark)
+      else withStage1.withColumn("ppl",
+        when(col("stage1_pass"), call_function("graft_perplexity", col("text")))
+          .otherwise(lit(Perplexity.MaxPpl)))
 
     val withDims = withPpl
       .withColumn("dim_math_errors",

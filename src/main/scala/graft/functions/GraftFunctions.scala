@@ -57,6 +57,21 @@ case class BasicCleanExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_basic_clean"
 }
 
+/** M2 perplexity as a native expression over the JVM-static model (see
+  * Perplexity.Shared) — identical scores to the broadcast/mapPartitions
+  * path by construction (same Model.score).
+  */
+case class PerplexityExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(input: Any): Any =
+    graft.score.Perplexity.scoreShared(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.score.Perplexity.scoreShared($c)")
+  override protected def withNewChildInternal(newChild: Expression): PerplexityExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_perplexity"
+}
+
 /** Registration of graft-native SQL functions on a session (the
   * SparkSessionExtensions-equivalent entry point — injectable via
   * `.withExtensions(GraftFunctions.injectAll)` on a fresh builder, or
@@ -77,6 +92,8 @@ object GraftFunctions {
       exprs => graft.rules.PatternCountsExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_basic_clean", exprs => BasicCleanExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_perplexity", exprs => PerplexityExpr(exprs.head), "built-in")
   }
 
   /** SparkSessionExtensions injection point (for spark-submit via

@@ -97,6 +97,19 @@ object Perplexity {
     Model(uni, total)
   }
 
+  /** JVM-static instance: the model is built from code-embedded data, so
+    * every executor can construct it lazily without a broadcast — which
+    * lets the scorer run as a native expression INSIDE whole-stage codegen
+    * (no mapPartitions fence, no Row serialization). The broadcast +
+    * mapPartitions path below remains the API for externally-trained
+    * models that must ship with the job.
+    */
+  lazy val Shared: Model = buildModel()
+
+  /** Static scoring entry for codegen. */
+  def scoreShared(u: org.apache.spark.unsafe.types.UTF8String): Double =
+    if (u == null) MaxPpl else Shared.score(u.toString)
+
   /** Add a `pplCol` double column computed per partition from `textCol`.
     * Typed Dataset.mapPartitions (no RDD); model broadcast once.
     */
