@@ -93,19 +93,41 @@ object LangId {
   /** The broadcastable model: flat weight matrix [lang][bucket]. */
   final case class NgramModel(dim: Int, langs: Array[String],
                               weights: Array[Array[Float]]) extends Serializable {
-    /** Classify one text sample. Returns language code or "und". */
+    /** Classify one text sample. Returns language code or "und".
+      *
+      * Trigram extraction mirrors training exactly: each whitespace token is
+      * padded " tok " and its trigrams hashed — never sliding across word
+      * boundaries (a raw char window would score "der" inside English
+      * "order" as German evidence).
+      */
     def predict(text: String, sampleLen: Int = 500): String = {
       if (text == null || text.length < 3) return "und"
-      val s = ("  " + text.substring(0, math.min(text.length, sampleLen)).toLowerCase + "  ")
+      val s = text.substring(0, math.min(text.length, sampleLen)).toLowerCase
       val scores = new Array[Double](langs.length)
-      var i = 0
       var grams = 0
-      while (i + 2 < s.length) {
-        val b = hashGram(s.charAt(i), s.charAt(i + 1), s.charAt(i + 2), dim)
-        var l = 0
-        while (l < langs.length) { scores(l) += weights(l)(b); l += 1 }
-        grams += 1
-        i += 1
+      val n = s.length
+      var i = 0
+      while (i < n) {
+        // find the next token [i, j)
+        while (i < n && graft.rules.TokenStats.isUnicodeWs(s.charAt(i))) i += 1
+        var j = i
+        while (j < n && !graft.rules.TokenStats.isUnicodeWs(s.charAt(j))) j += 1
+        if (j > i) {
+          // trigrams of " tok " without materializing the padded string
+          var k = -1 // window start relative to padding: char at p = if in-range s else ' '
+          val end = j - i // token length
+          while (k <= end - 2) {
+            val c0 = if (k < 0) ' ' else s.charAt(i + k)
+            val c1 = if (k + 1 < end) s.charAt(i + k + 1) else ' '
+            val c2 = if (k + 2 < end) s.charAt(i + k + 2) else ' '
+            val b = hashGram(c0, c1, c2, dim)
+            var l = 0
+            while (l < langs.length) { scores(l) += weights(l)(b); l += 1 }
+            grams += 1
+            k += 1
+          }
+        }
+        i = j
       }
       if (grams == 0) return "und"
       var best = 0; var l = 1

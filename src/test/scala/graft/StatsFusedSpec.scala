@@ -81,3 +81,22 @@ class StatsFusedSpec extends SparkTestBase {
     assert(r.getLong(0) == 3L && r.getLong(1) == 1L)
   }
 }
+
+/** Langid model sanity on real-language samples (word-boundary trigrams). */
+class LangIdQualitySpec extends SparkTestBase {
+  private val model = graft.lang.LangId.buildModel()
+
+  test("trigram model classifies obvious samples") {
+    assert(model.predict("the energy of the system is given by the equation and we find that it is") == "en")
+    assert(model.predict("der Hund und die Katze sind nicht mit dem Auto auf der Strasse") == "de")
+    assert(model.predict("los resultados de una prueba con las condiciones para este caso") == "es")
+    assert(model.predict("les résultats sont dans une bonne condition pour cette mesure avec nous") == "fr")
+    assert(model.predict("zvq xrt plk wnm qrs vbz ktj drn") == "und")
+    assert(model.predict("") == "und")
+  }
+
+  test("english word containing a german trigram does not flip the label") {
+    // "order" contains 'der'; boundary-trigram extraction must not score it
+    assert(model.predict("the order of the records for the batch is fixed and we can sort it") == "en")
+  }
+}
