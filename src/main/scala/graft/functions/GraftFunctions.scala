@@ -72,6 +72,72 @@ case class PerplexityExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_perplexity"
 }
 
+/** Vector dot product over array<float>/array<double> columns — the
+  * higher-order `aggregate(zip_with(...))` form is interpreted per element
+  * with boxing; this is a tight primitive loop with identical arithmetic
+  * (elementwise double product summed left-to-right, matching the DuckDB
+  * oracle formula).
+  */
+case class DotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    DotExpr.dot(x, y, left.dataType, right.dataType)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"""graft.functions.DotExpr.dotTyped($a, $b, $isLeftFloat, $isRightFloat)""")
+
+  private def isLeftFloat: Boolean = elemIsFloat(left.dataType)
+  private def isRightFloat: Boolean = elemIsFloat(right.dataType)
+  private def elemIsFloat(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot"
+}
+
+object DotExpr {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  def dot(a: ArrayData, b: ArrayData, lt: DataType, rt: DataType): Double = {
+    val lf = lt match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    val rf = rt match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    dotTyped(a, b, lf, rf)
+  }
+
+  /** Identical arithmetic to aggregate(zip_with(a,b,(x,y)->xd*yd),0d,+):
+    * zip_with truncates to min length; products summed left-to-right.
+    */
+  def dotTyped(a: ArrayData, b: ArrayData, leftFloat: Boolean,
+               rightFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Registration of graft-native SQL functions on a session (the
   * SparkSessionExtensions-equivalent entry point — injectable via
   * `.withExtensions(GraftFunctions.injectAll)` on a fresh builder, or

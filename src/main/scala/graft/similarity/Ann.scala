@@ -18,8 +18,18 @@ object Ann {
 
   /** dot(a, b) with explicit double accumulation (matches the DuckDB
     * oracle formula order: sum of elementwise products, left to right).
+    * Runs as the native DotExpr — the higher-order aggregate(zip_with(...))
+    * form is interpreted per element with boxing (identical arithmetic,
+    * property-tested in AnnSpec).
     */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.DotExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+
+  /** The pure-Catalyst reference form (kept for the parity test). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

@@ -64,3 +64,34 @@ class AnnSpec extends SparkTestBase {
     assert(pairs.contains((7L, 500L)), s"planted dup not found: $pairs")
   }
 }
+
+/** Native DotExpr must equal the higher-order form bit-for-bit. */
+class DotParitySpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("DotExpr equals aggregate(zip_with(...)) on float and double arrays") {
+    val df = (0 until 50).map { i =>
+      (Array.tabulate(16)(d => (i * 17 + d * 3 % 7 - 3).toFloat / 11f),
+       Array.tabulate(16)(d => (i * 13 - d * 5 % 9 + 2).toFloat / 7f))
+    }.toDF("a", "b")
+    val bad = df.filter(
+      graft.similarity.Ann.dot(col("a"), col("b")) =!=
+        graft.similarity.Ann.dotHof(col("a"), col("b"))).count()
+    assert(bad == 0)
+    val dbl = df.select(col("a").cast("array<double>").as("a"),
+      col("b").cast("array<double>").as("b"))
+    val bad2 = dbl.filter(
+      graft.similarity.Ann.dot(col("a"), col("b")) =!=
+        graft.similarity.Ann.dotHof(col("a"), col("b"))).count()
+    assert(bad2 == 0)
+  }
+
+  test("DotExpr stays in codegen") {
+    val df = spark.range(3).select(
+      graft.similarity.Ann.dot(
+        array(lit(1.0f), lit(2.0f)), array(lit(3.0f), lit(4.0f))).as("d"))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"))
+    assert(df.head().getDouble(0) == 11.0)
+  }
+}

@@ -11,7 +11,7 @@ import graft.fixtures.SynthCorpus
   */
 class PipelineParitySpec extends SparkTestBase {
 
-  private val N = 600L
+  private val N = 2000L
 
   private lazy val joined = {
     val raw = SynthCorpus.docsRaw(spark, N, partitions = 8).toDF()
