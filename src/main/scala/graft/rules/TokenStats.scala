@@ -36,7 +36,7 @@ object TokenStats {
 
   @inline def isUnicodeWs(c: Char): Boolean =
     (Character.isWhitespace(c) && !(c >= 0x1C && c <= 0x1F)) ||
-      c == '\u00A0' || c == '\u2007' || c == '\u202F'
+      c == '\u0085' || c == '\u00A0' || c == '\u2007' || c == '\u202F'
 
   /** One pass: (word_count, physics_terms, math_terms, dot_count). */
   def compute(s: String): Array[Long] = {

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.Clean
+import graft.rules.{Heuristics, TokenStats, PatternCounts}
+import graft.score.{Perplexity, Score, Stages}
+import graft.scrub.PiiScrub
+
+/** Property-based invariants (SURVEY.md §5.4) — pure-Scala mirrors, no
+  * Spark session needed, so thousands of cases run in milliseconds.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Raw ScalaCheck runner (scalatestplus bridge not in the offline repo). */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val textGen: Gen[String] = Gen.frequency(
+    3 -> Gen.asciiPrintableStr,
+    2 -> Gen.listOf(Gen.oneOf("the", "energy", "force", "$x=1$", "[1]",
+      "a@b.co", "1.2.3.4", "α", "ﬁ", "  ", "\n", "Page 3", "3.14",
+      "assume", "therefore", "we obtain")).map(_.mkString(" ")),
+    1 -> Gen.listOf(Gen.choose(0x20.toChar, 0x2FF.toChar)).map(_.mkString))
+
+  test("clean stabilizes after second application (property)") {
+    check(Prop.forAll(textGen) { t =>
+      val twice = Clean.basicCleanStr(Clean.basicCleanStr(t))
+      Clean.basicCleanStr(twice) == twice
+    })
+  }
+
+  test("fast clean equals regex clean (property)") {
+    check(Prop.forAll(textGen) { t =>
+      Clean.basicCleanFastStr(t) == Clean.basicCleanStr(t)
+    })
+  }
+
+  test("fused token stats equal regex mirrors (property)") {
+    check(Prop.forAll(textGen) { t =>
+      val a = TokenStats.compute(t)
+      a(0) == Heuristics.wordCountStr(t) &&
+        a(1) == Heuristics.tokenMembershipCountStr(t, Heuristics.PhysicsTerms) &&
+        a(2) == Heuristics.tokenMembershipCountStr(t, Heuristics.MathTerms) &&
+        a(3) == t.count(_ == '.').toLong
+    })
+  }
+
+  test("fused pattern counts equal regex mirrors (property)") {
+    check(Prop.forAll(textGen) { t =>
+      val a = PatternCounts.compute(t)
+      a(0) == Heuristics.mathExpressionCountStr(t) &&
+        a(1) == Heuristics.referenceCountStr(t) &&
+        a(2) == Heuristics.equationCountStr(t)
+    })
+  }
+
+  test("scrub is idempotent and never reveals an email (property)") {
+    val emailGen = for {
+      u <- Gen.alphaLowerStr.suchThat(_.nonEmpty)
+      d <- Gen.alphaLowerStr.suchThat(_.length > 1)
+      pre <- textGen
+    } yield (s"$pre $u@$d.com", s"$u@$d.com")
+    check(Prop.forAll(emailGen) { case (t, email) =>
+      val out = PiiScrub.scrubStr(t)
+      PiiScrub.scrubStr(out) == out && !out.contains(email)
+    })
+  }
+
+  test("overall score always in [0,1]; stage-1 fail forces 0 (property)") {
+    val g = for {
+      pass <- Gen.oneOf(true, false)
+      soph <- Gen.choose(0.0, 1.0)
+      avg2 <- Gen.choose(1.0, 10.0)
+      rec <- Gen.oneOf(Score.RecommendationScores.keys.toSeq :+ "GARBAGE")
+    } yield (pass, soph, avg2, rec)
+    check(Prop.forAll(g) { case (pass, soph, avg2, rec) =>
+      val s = Score.overallStr(pass, soph, avg2, rec)
+      s >= 0.0 && s <= 1.0 && (pass || s == 0.0)
+    })
+  }
+
+  test("perplexity is positive, bounded, and whitespace-padding stable (property)") {
+    val m = Perplexity.buildModel()
+    check(Prop.forAll(textGen) { t =>
+      val p = m.score(t)
+      val padded = m.score("   " + t.take(4000))
+      p > 0.0 && p <= Perplexity.MaxPpl &&
+        (t.trim.isEmpty || t.length > 4000 || math.abs(p - padded) < 1e-9 * p + 1e-9)
+    })
+  }
+
+  test("stage-2 dims always in [1,10] or the 5.0 default (property)") {
+    check(Prop.forAll(textGen, Gen.choose(0L, 100000L), Gen.choose(0L, 1000L)) {
+      (t, words, refs) =>
+        val dims = Seq(
+          Stages.dimMathErrorsStr(refs, words),
+          Stages.dimPhysicsAssumptionsStr(t),
+          Stages.dimLogicalConsistencyStr(math.max(1.0, words.toDouble), t),
+          Stages.dimLiteratureIntegrationStr(refs, t))
+        dims.forall(d => d >= 1.0 && d <= 10.0 || d == 5.0)
+    })
+  }
+}
