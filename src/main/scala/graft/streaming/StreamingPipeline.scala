@@ -50,4 +50,40 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
+
+  // ------------------------------------------------------------------
+  // Custom state: per-domain running keep statistics via
+  // flatMapGroupsWithState (the KeyValueGroupedDataset state-store path —
+  // what a production filter uses for per-host rate limiting / quota).
+  // ------------------------------------------------------------------
+
+  final case class DomainState(nDocs: Long, nKept: Long)
+  final case class DomainUpdate(domain: String, n_docs: Long, n_kept: Long,
+                                keep_rate: Double)
+
+  /** Emit a cumulative per-domain update on every micro-batch. State is one
+    * tiny struct per domain — bounded by domain cardinality, not rows.
+    */
+  def domainRunningStats(scored: DataFrame): org.apache.spark.sql.Dataset[DomainUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(
+        coalesce(parse_url(col("url"), lit("HOST")), lit("unknown")).as("domain"),
+        col("keep"))
+      .as[(String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (domain: String, rows: Iterator[(String, Boolean)],
+         state: GroupState[DomainState]) => {
+          val prev = state.getOption.getOrElse(DomainState(0L, 0L))
+          var n = prev.nDocs
+          var k = prev.nKept
+          rows.foreach { case (_, keep) => n += 1; if (keep) k += 1 }
+          state.update(DomainState(n, k))
+          Iterator.single(DomainUpdate(domain, n, k,
+            if (n == 0) 0.0 else k.toDouble / n))
+        })
+  }
 }

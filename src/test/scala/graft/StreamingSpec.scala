@@ -49,3 +49,36 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("keeprate_stream").schema.fieldNames.contains("n_docs"))
   }
 }
+
+/** flatMapGroupsWithState: cumulative per-domain keep stats across
+  * micro-batches (state survives batch boundaries).
+  */
+class StreamingStateSpec extends SparkTestBase {
+  import graft.fixtures.SynthCorpus
+  import graft.model.WebDoc
+  import graft.streaming.StreamingPipeline
+
+  test("per-domain running stats accumulate across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 80L).map(SynthCorpus.docFor)
+    val stream = MemoryStream[WebDoc]
+    val scored = StreamingPipeline.score(stream.toDF(), spark)
+    val updates = StreamingPipeline.domainRunningStats(scored)
+    val q = updates.writeStream.format("memory")
+      .queryName("domain_state_stream").outputMode("append").start()
+    try {
+      stream.addData(docs.take(40)); q.processAllAvailable()
+      stream.addData(docs.drop(40)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("domain_state_stream").collect()
+    assert(rows.nonEmpty)
+    // final cumulative totals across domains must equal the doc count
+    val lastPerDomain = rows.groupBy(_.getString(0))
+      .map { case (_, rs) => rs.map(_.getLong(1)).max }
+    assert(lastPerDomain.sum == 80L, s"got ${lastPerDomain.sum}")
+    // keep_rate always within [0,1]
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+}
