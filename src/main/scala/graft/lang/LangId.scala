@@ -164,4 +164,27 @@ object LangId {
     val predictUdf = udf((t: String) => model.value.predict(t))
     df.withColumn(langCol, predictUdf(col(textCol)))
   }
+
+  /** The north_star-literal form: broadcast model applied inside a typed
+    * `mapPartitions` batch (model deref amortized per partition, no UDF
+    * boundary). Identical labels to `withLangNgram` by construction; the
+    * UDF form is the default because it composes inside whole-stage
+    * codegen while this one is a fence.
+    */
+  def withLangNgramMapPartitions(df: DataFrame, textCol: String,
+                                 langCol: String,
+                                 spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StringType
+    val bc = spark.sparkContext.broadcast(buildModel())
+    val outSchema = df.schema.add(langCol, StringType, nullable = true)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { it =>
+      val m = bc.value // one deref per partition
+      it.map { r =>
+        val t = if (r.isNullAt(idx)) null else r.getString(idx)
+        Row.fromSeq(r.toSeq :+ m.predict(t))
+      }
+    }(Encoders.row(outSchema))
+  }
 }
