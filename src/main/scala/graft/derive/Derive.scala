@@ -55,13 +55,19 @@ object Derive {
     val blockStruct: (Column, String) => Column = (arr, typ) =>
       transform(arr, b => struct(lit(typ).as("example_type"), b.as("block")))
 
+    // E13 batteries run fused (BlockExtractExpr — identical matches to the
+    // Extract.* Column forms, ~100x less per-row interpreter overhead)
+    val fusedBlocks = org.apache.spark.sql.GraftColumnBridge.column(
+      BlockExtractExpr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
     val withBlocks = df
       .filter(suitableForTraining(text, col(urlCol)))
+      .withColumn("__bx", fusedBlocks)
       .withColumn("blocks", concat(
         // caps per enhanced_paper_analyser.py:693-706
-        blockStruct(slice(Extract.completeDerivations(text), 1, 5), "derivation"),
-        blockStruct(slice(Extract.workedSolutions(text), 1, 5), "solution"),
-        blockStruct(slice(Extract.mathematicalProofs(text), 1, 2), "proof")))
+        blockStruct(slice(col("__bx.derivations"), 1, 5), "derivation"),
+        blockStruct(slice(col("__bx.solutions"), 1, 5), "solution"),
+        blockStruct(slice(col("__bx.proofs"), 1, 2), "proof")))
+      .drop("__bx")
       .filter(size(col("blocks")) > 0)
       .select(col(urlCol).as("url"), col(subjectCol).as("subject"),
         explode(col("blocks")).as("b"))

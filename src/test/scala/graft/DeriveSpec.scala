@@ -172,3 +172,26 @@ class DeriveSpec extends SparkTestBase {
     assert(items.filter(col("clean_title").startsWith("3 Pages")).count() == 0)
   }
 }
+
+/** Fused BlockExtractExpr must equal the Catalyst battery forms exactly. */
+class BlockExtractParitySpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("fused blocks equal Extract.* batteries on the fixture corpus") {
+    val texts = graft.fixtures.SynthCorpus.docsRaw(spark, 200, 4).toDF()
+      .withColumn("text",
+        graft.extract.Clean.basicClean(graft.extract.HtmlText.extractCol(col("html"))))
+      .select(col("url"), col("text"))
+    val fused = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.derive.BlockExtractExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
+    val bad = texts
+      .withColumn("bx", fused)
+      .filter(
+        col("bx.derivations") =!= graft.derive.Extract.completeDerivations(col("text")) ||
+        col("bx.solutions") =!= graft.derive.Extract.workedSolutions(col("text")) ||
+        col("bx.proofs") =!= graft.derive.Extract.mathematicalProofs(col("text")))
+      .count()
+    assert(bad == 0)
+  }
+}
