@@ -25,6 +25,23 @@ object SynthCorpus {
   val Seed = 42L
   val NumHosts = 50
 
+  /** splitmix64 finalizer — java.util.Random's first draws are heavily
+    * correlated across sequential seeds (the LCG scramble is too weak:
+    * measured, the first nextDouble of seeds 42..2041 never left [0, 0.8),
+    * which silently erased the language mix and the Zipf host skew).
+    * Scrambling the seed through splitmix64 restores per-row independence
+    * while staying a pure function of (Seed, i).
+    */
+  @inline private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def rng(stream: Long, i: Long): scala.util.Random =
+    new scala.util.Random(mix(stream * 0x6C62272E07BB0142L + i))
+
   // Zipf(1.2) cumulative weights over hosts — one mega-host dominates.
   private val zipfCum: Array[Double] = {
     val w = (1 to NumHosts).map(r => 1.0 / math.pow(r, 1.2)).toArray
@@ -65,7 +82,7 @@ object SynthCorpus {
 
   /** The raw body text for row i (pre-HTML, pre-clean). */
   def bodyFor(i: Long): String = {
-    val rnd = new scala.util.Random(Seed + i)
+    val rnd = rng(Seed, i)
     val langClass = { val d = rnd.nextDouble(); if (d < 0.80) 0 else if (d < 0.95) 1 else 2 }
     val targetLen = LenSpectrum(rnd.nextInt(LenSpectrum.length))
     if (targetLen == 0) return ""
@@ -114,7 +131,7 @@ object SynthCorpus {
 
   /** Deterministic HTML wrapper (FIXTURES.md §2 "HTML wrapper"). */
   def htmlFor(i: Long, body: String): String = {
-    val rnd = new scala.util.Random(Seed * 31 + i)
+    val rnd = rng(Seed * 31, i)
     val noise = rnd.nextInt(3)
     val paras = body.grouped(400).map(p => s"<p>$p</p>").mkString("\n")
     s"""<html><head><title>doc $i</title>
@@ -130,7 +147,7 @@ object SynthCorpus {
   }
 
   def urlFor(i: Long): String = {
-    val rnd = new scala.util.Random(Seed * 17 + i)
+    val rnd = rng(Seed * 17, i)
     val h = zipfHost(rnd.nextDouble())
     val host = if (h % 7 == 3) s"vixra$h.org" else s"host$h.example.com"
     s"https://$host/page/$i"

@@ -132,7 +132,17 @@ object LangId {
       if (grams == 0) return "und"
       var best = 0; var l = 1
       while (l < langs.length) { if (scores(l) > scores(best)) best = l; l += 1 }
-      if (scores(best) / grams < 0.01) "und" else langs(best)
+      // absolute floor + margin test: junk text accumulates a little mass
+      // on every profile; a real language wins by a clear factor over the
+      // runner-up. Both thresholds deterministic.
+      var second = 0.0
+      l = 0
+      while (l < langs.length) {
+        if (l != best && scores(l) > second) second = scores(l)
+        l += 1
+      }
+      val bestAvg = scores(best) / grams
+      if (bestAvg < 0.01 || scores(best) < second * 1.3) "und" else langs(best)
     }
   }
 
