@@ -34,13 +34,19 @@ object Bench {
 
     // ---- per-query timings: min of two passes (bursty hypervisor steal
     // on this VM makes any single pass unreliable; min = steal-free est.)
+    // a throwing query is REPORTED (ok=false + listed in "failed"), never
+    // silently timed as if it ran (round-1 advice: no swallowed failures)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> math.min(once(), once())
+      val (s1, ok1) = once(); val (s2, ok2) = once()
+      (name, math.min(s1, s2), ok1 && ok2)
     }
 
     // ---- steady-state filter throughput (the BASELINE.md headline) ----
@@ -56,11 +62,13 @@ object Bench {
       .minBy(_._2)
     val docsPerSec = nDocs / secs
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"bench_docs":$nDocs,"pipeline_sec":$secs%.3f,"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","docs_per_sec":$docsPerSec%.1f,"bench_docs":$nDocs,"pipeline_sec":$secs%.3f,"cpus":$cpus}""")
     spark.stop()
   }
 }

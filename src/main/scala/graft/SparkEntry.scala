@@ -176,12 +176,15 @@ object SparkEntry {
       // per-doc MinHash signature + LSH band buckets (rows-only check;
       // pair-finding correctness is ScalaTest-verified on planted dups)
       val d = docs(s, dir)
+      // scalar digests only — a raw array<bigint> column breaks the driver's
+      // pandas sort/hash compare (round-1 q21 err: "unhashable numpy.ndarray")
       d.select(col("doc_id"),
         graft.dedup.Dedup.shingles(col("text"), 3).as("sh"))
         .withColumn("sig", graft.dedup.Dedup.minhashSignature(col("sh"), 32))
         .withColumn("buckets", graft.dedup.Dedup.bandKeys(col("sig"), 8, 4))
         .select(col("doc_id"), size(col("sh")).as("n_shingles"),
-          xxhash64(col("sig")).as("sig_hash"), col("buckets"))
+          xxhash64(col("sig")).as("sig_hash"),
+          xxhash64(col("buckets")).as("buckets_hash"))
         .orderBy("doc_id")
     }),
 
@@ -286,9 +289,12 @@ object SparkEntry {
             .otherwise(0L))
         .withColumn("session_id",
           sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      // sum_value in exact integer cents: per-row round → bigint → sum is
+      // order-independent, so Spark/DuckDB FP summation-order differences
+      // can't flip the driver's hash compare (round-1 q35 failure mode)
       gapped.groupBy("user_id", "session_id")
         .agg(count(lit(1)).as("n_events"),
-          round(sum("value"), 2).as("sum_value"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_c"),
           (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
             .as("duration_s"))
         .orderBy("user_id", "session_id")
@@ -310,6 +316,14 @@ object SparkEntry {
       .mkString(" + ")
     val wcSql =
       "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END"
+    // LSH hyperplanes are pure deterministic literals (Ann.hyperplanes) —
+    // inline them so DuckDB recomputes the exact bucket assignment
+    def lshBucketSql(numPlanes: Int): String =
+      graft.similarity.Ann.hyperplanes(numPlanes, 64).zipWithIndex.map {
+        case (h, p) =>
+          val arr = h.map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product(v, $arr) >= 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
     Map(
       "q01_lineitem_agg" ->
         """SELECT l_returnflag, l_linestatus,
@@ -419,6 +433,33 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 3
           |ORDER BY query_id, rk""".stripMargin,
 
+      "q24_ann_lsh" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, (${lshBucketSql(4)}) AS bucket FROM e),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    round(list_dot_product(q.v, c.v) /
+           |      sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cos
+           |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 20),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cos,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 3
+           |ORDER BY query_id, rk""".stripMargin,
+
+      "q25_cos_neardup" ->
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, (${lshBucketSql(6)}) AS bucket FROM e),
+           |p AS (
+           |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           |    round(list_dot_product(a.v, c.v) /
+           |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(c.v, c.v)), 6) AS cos
+           |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+           |SELECT DISTINCT id_a, id_b, cos FROM p WHERE cos >= 0.35
+           |ORDER BY id_a, id_b""".stripMargin,
+
       "q26_quality_score" -> {
         val stopSum = graft.lang.LangId.EnglishStopwords10
           .map(w => s"(CASE WHEN list_contains(toks, '$w') THEN 1.0 ELSE 0.0 END)")
@@ -471,11 +512,11 @@ object SparkEntry {
           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
           |s AS (
           |  SELECT user_id, event_id, ts, value,
-          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           |  FROM g)
           |SELECT user_id, session_id, count(*) AS n_events,
-          |  round(sum(value), 2) AS sum_value,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
           |  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
           |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     )
