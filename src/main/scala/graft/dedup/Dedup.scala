@@ -23,15 +23,20 @@ object Dedup {
 
   // ------------------------------------------------------------------
   // Exact dedup: hash-groupBy. One shuffle, map-side partial agg free.
+  // Key is a 128-bit md5 fingerprint: at the target 10^12-doc scale a
+  // 64-bit key would see ~tens of thousands of birthday collisions and
+  // silently merge distinct documents (round-1 advice); at 128 bits the
+  // expected collision count is ~1e-14 — grouping by the fingerprint is
+  // equivalent to grouping by the text without shuffling the text itself.
   // ------------------------------------------------------------------
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
   /** Rows that survive exact dedup (keep lowest id per identical text). */
   def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col(textCol))).orderBy(col(idCol))
+      .partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 

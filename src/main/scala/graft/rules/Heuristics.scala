@@ -18,13 +18,20 @@ object Heuristics {
   // E2 — word_count / char_count (reference: analysis/pdf_processor.py:77,84)
   // Python str.split() semantics: split on unicode-whitespace runs,
   // leading/trailing ignored, empty string -> 0 tokens.
+  //
+  // Canonical tokenizer: split on (?U)\s+ and DROP empty tokens. A
+  // trim-then-split form miscounts leading non-' ' whitespace (Spark `trim`
+  // strips only ' ', Java String.trim strips <= 0x20 but not NBSP/U+0085) —
+  // round-1 advice; the filter makes Column form, Str mirror and the fused
+  // TokenStats scanner agree on every input, not just cleaned text.
   // ------------------------------------------------------------------
+  def tokens(c: Column): Column = filter(split(c, WsRun), w => length(w) > 0)
+
   def wordCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0L))
-      .otherwise(size(split(trim(c), WsRun)).cast("long"))
+    when(c.isNull, lit(0L)).otherwise(size(tokens(c)).cast("long"))
 
   def wordCountStr(t: String): Long =
-    if (t == null || t.trim.isEmpty) 0L else t.trim.split(WsRun).length.toLong
+    if (t == null) 0L else t.split(WsRun).count(_.nonEmpty).toLong
 
   def charCount(c: Column): Column = length(c).cast("long")
 
@@ -95,14 +102,14 @@ object Heuristics {
     "matrix", "vector", "tensor", "calculation", "proof", "theorem")
 
   def tokenMembershipCount(c: Column, terms: Seq[String]): Column =
-    when(length(trim(c)) === 0, lit(0L)).otherwise(
-      size(filter(split(trim(c), WsRun),
+    when(c.isNull, lit(0L)).otherwise(
+      size(filter(tokens(c),
         w => array_contains(lit(terms.toArray), lower(w)))).cast("long"))
 
   def tokenMembershipCountStr(t: String, terms: Seq[String]): Long = {
-    if (t == null || t.trim.isEmpty) return 0L
+    if (t == null) return 0L
     val set = terms.toSet
-    t.trim.split(WsRun).count(w => set.contains(w.toLowerCase)).toLong
+    t.split(WsRun).count(w => w.nonEmpty && set.contains(w.toLowerCase)).toLong
   }
 
   /** Substring-containment variant (each term counted 0/1) — the gate style
@@ -247,8 +254,8 @@ object Heuristics {
     * transform over index sequence, compare distinct vs total.
     */
   def dupNgramFraction(c: Column, n: Int): Column = {
-    val toks = when(length(trim(c)) === 0, array().cast("array<string>"))
-      .otherwise(split(lower(trim(c)), WsRun))
+    val toks = when(c.isNull, array().cast("array<string>"))
+      .otherwise(tokens(lower(c)))
     val cnt = size(toks) - (n - 1)
     val grams = when(cnt <= 0, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), cnt - 1),
@@ -259,9 +266,8 @@ object Heuristics {
 
   /** Mean word length (Gopher: keep 3..10). */
   def meanWordLength(c: Column): Column = {
-    val toks = split(trim(c), WsRun)
     when(wordCount(c) === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      aggregate(tokens(c), lit(0L), (acc, w) => acc + length(w)).cast("double") /
         wordCount(c).cast("double"))
   }
 

@@ -18,7 +18,11 @@ class StatsFusedSpec extends SparkTestBase {
     "xy", // U+001D: python-\s yes, unicode White_Space no — our regex
                 // (?U)\s treats it as NON-space; scanner must agree
     "tab\tsep\nnl", "dots... everywhere. 3.14",
-    "  leading trailing  ", "equation energy equation energy")
+    "  leading trailing  ", "equation energy equation energy",
+    // leading/trailing NON-' ' whitespace — the round-1 flaky-parity class:
+    // Spark trim strips only ' ', Java trim <= 0x20; the tokenizer must
+    // drop the empty tokens these would otherwise produce
+    "\thello", " abc", "xy", "energy ", "  force\t")
 
   test("fused token stats equal the regex mirrors on edge cases") {
     for (t <- edgeCases) {
