@@ -93,10 +93,21 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .withColumn("bucket", explode(bandKeys(col("sig"), bands, rowsPerBand)))
 
-    // candidate pairs within buckets; cap pathological buckets (observable:
-    // capped buckets surface as bucket_capped=true rows upstream if needed)
+    // candidate pairs within buckets; cap pathological buckets (a corpus of
+    // boilerplate-identical pages lands in one bucket → O(n²) pairs). The
+    // cap is observable, not silent: `observe("minhash_bucket_cap", ...)`
+    // reports capped-bucket and dropped-id counts via
+    // `result.queryExecution.observedMetrics` after an action on that
+    // dataset — collect/write, not count(), which plans a separate query.
     val buckets = withSig.groupBy("bucket")
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("all_ids"))
+      .withColumn("n_ids", size(col("all_ids")))
+      .observe("minhash_bucket_cap",
+        sum(when(col("n_ids") > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
+        sum(when(col("n_ids") > maxBucket, (col("n_ids") - maxBucket).cast("long"))
+          .otherwise(0L)).as("dropped_ids"))
+      .withColumn("ids", slice(col("all_ids"), 1, maxBucket))
+      .drop("all_ids", "n_ids")
       .filter(size(col("ids")) > 1)
     val pairs = buckets
       .select(explode(expr(
@@ -176,13 +187,34 @@ object Dedup {
   // ------------------------------------------------------------------
   // N-gram Jaccard via inverted-index join — the scalable exact-similarity
   // path (token → postings → pair counts), no signatures, no cross join.
+  //
+  // Document-frequency cap: the postings self-join is O(df²) PER TOKEN, so
+  // one stopword token over a web corpus is a quadratic shuffle. Tokens
+  // with df > maxDf are dropped from the index (standard prefix-filtering:
+  // a token shared by >maxDf docs carries ~no similarity signal), which
+  // makes the reported jaccard a LOWER BOUND when the cap fires. The drop
+  // is observable, not silent: the plan carries an `observe("ngram_df_cap",
+  // dropped_postings, max_df)` node — read it from
+  // `result.queryExecution.observedMetrics` after an action on that
+  // dataset (collect/write; a bare count() plans a separate query) (DedupSpec
+  // asserts a planted stopword flood is both bounded and reported).
+  // The df window runs on the same hash-partitioning-by-tok the self-join
+  // needs, so the cap adds no extra shuffle of the postings.
   // ------------------------------------------------------------------
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 1, minJaccard: Double = 0.0): DataFrame = {
+                        n: Int = 1, minJaccard: Double = 0.0,
+                        maxDf: Int = 10000): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
     val sizes = toks.select(col("id"), size(col("sh")).as("sz"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
     val postings = toks.select(col("id"), explode(col("sh")).as("tok"))
+      .withColumn("df", count(lit(1)).over(wTok))
+      .observe("ngram_df_cap",
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
+        max(col("df")).as("max_df"))
+      .filter(col("df") <= maxDf)
+      .drop("df")
     val inter = postings.as("x").join(postings.as("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))

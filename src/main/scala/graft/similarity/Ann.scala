@@ -108,16 +108,35 @@ object Ann {
 
   /** Embedding-cosine near-duplicate pairs (dedup flavor): all pairs in
     * the same LSH bucket with cosine >= threshold.
+    *
+    * Bucket-size cap: with 2^numPlanes buckets total, a skewed corpus (or
+    * too few planes) makes the within-bucket self-join quadratic — the
+    * round-1 gap vs `Dedup.minhashPairs`. Rows beyond `maxBucket` per
+    * bucket (in id order — deterministic) are dropped from pairing, and
+    * the drop is observable via `observe("cos_neardup_bucket_cap",
+    * dropped_rows, max_bucket_size)` on the plan
+    * (`result.queryExecution.observedMetrics`; AnnSpec plants a mega-bucket
+    * and asserts both the bound and the report). The rank window shuffles
+    * on `bucket` — the same partitioning the pairing join needs, so the
+    * cap adds no extra shuffle. For recall at scale, raise numPlanes (more,
+    * smaller buckets) rather than maxBucket.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.95, numPlanes: Int = 8,
-                         dim: Int = 64): DataFrame = {
+                         dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val a = v.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
-    val b = v.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    val wB = Window.partitionBy("bucket").orderBy("id")
+    val capped = v.withColumn("rnk", row_number().over(wB))
+      .observe("cos_neardup_bucket_cap",
+        sum(when(col("rnk") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
+        max(col("rnk")).as("max_bucket_size"))
+      .filter(col("rnk") <= maxBucket)
+      .drop("rnk")
+    val a = capped.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = capped.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",

@@ -63,6 +63,20 @@ class AnnSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((7L, 500L)), s"planted dup not found: $pairs")
   }
+
+  test("near-dup bucket cap bounds a planted mega-bucket and reports the drop") {
+    // 50 copies of the same vector → one bucket; maxBucket=10 must bound
+    // the self-join at C(10,2)=45 pairs and report 40 dropped rows
+    val flood = (0 until 50).map(i => (i.toLong, vec(3))).toDF("vec_id", "embedding")
+    val pairs = Ann.cosineNearDupPairs(flood, "vec_id", "embedding",
+      threshold = 0.5, numPlanes = 4, dim = 16, maxBucket = 10)
+    // collect() (not count()) — observed metrics live on THIS dataset's
+    // QueryExecution; count() plans a separate aggregate query
+    assert(pairs.collect().length == 45)
+    val m = pairs.queryExecution.observedMetrics("cos_neardup_bucket_cap")
+    assert(m.getAs[Long]("dropped_rows") == 40L)
+    assert(m.getAs[Int]("max_bucket_size") == 50)
+  }
 }
 
 /** Native DotExpr must equal the higher-order form bit-for-bit. */

@@ -78,6 +78,41 @@ class DedupSpec extends SparkTestBase {
     assert(got.toSeq == want)
   }
 
+  test("minhash bucket cap bounds a planted mega-bucket and reports the drop") {
+    // 40 byte-identical docs → all bands land in the same buckets; with
+    // maxBucket=8 the pair count must be C(8,2)=28 per-band-deduped, never
+    // C(40,2)=780, and the observe node must report the capped buckets
+    val flood = spark.range(0, 40).select(col("id").as("doc_id"),
+      lit("identical boilerplate page body repeated words here " * 4).as("text"))
+    val pairs = Dedup.minhashPairs(flood, "doc_id", "text",
+      shingleN = 3, numHashes = 32, bands = 8, threshold = 0.0, maxBucket = 8)
+    // collect() (not count()) — observed metrics live on THIS dataset's QE
+    val n = pairs.collect().length
+    assert(n == 28, s"expected C(8,2)=28 capped pairs, got $n")
+    val metrics = pairs.queryExecution.observedMetrics("minhash_bucket_cap")
+    assert(metrics.getAs[Long]("capped_buckets") == 8L) // every band capped
+    assert(metrics.getAs[Long]("dropped_ids") == 8L * 32L) // 40-8 per band
+  }
+
+  test("ngram df cap bounds a planted stopword flood and reports the drop") {
+    // every doc shares token "the" (df=30 > maxDf=5) but is otherwise
+    // unique; docs 0 and 1 also share low-df token "pairme" so the result
+    // is non-empty (a fully-empty result lets AQE's empty-relation rule
+    // prune the CollectMetrics node out of the final plan)
+    val flood = spark.range(0, 30).select(col("id").as("doc_id"),
+      concat(lit("the unique"), col("id"), lit(" token"), col("id"),
+        when(col("id") < 2, lit(" pairme")).otherwise(lit(""))).as("text"))
+    val pairs = Dedup.ngramJaccardPairs(flood, "doc_id", "text", n = 1, maxDf = 5)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L)), s"only the pairme pair must survive: $got")
+    val metrics = pairs.queryExecution.observedMetrics("ngram_df_cap")
+    assert(metrics.getAs[Long]("dropped_postings") == 30L)
+    assert(metrics.getAs[Long]("max_df") == 30L)
+    // and with the cap above df the full pair set comes back
+    assert(Dedup.ngramJaccardPairs(flood, "doc_id", "text", n = 1,
+      maxDf = 10000).count() == 30L * 29L / 2)
+  }
+
   test("minhash signature is partition-invariant") {
     val many = spark.range(0, 50).select(col("id").as("doc_id"),
       concat(lit("doc text sample number "), col("id"),
