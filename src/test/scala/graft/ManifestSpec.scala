@@ -56,6 +56,32 @@ class ManifestSpec extends SparkTestBase {
     assert(out == clean)
   }
 
+  test("input is staged exactly once; resume reuses the staging layout") {
+    val dir = Files.createTempDirectory("graft_manifest_stage").toString
+    val input = SynthCorpus.docsRaw(spark, 100, 4).toDF()
+
+    // kill after 1 bucket: staging must already be complete
+    var processed = 0
+    intercept[RuntimeException] {
+      Manifest.runBucketed(spark, input, dir, "url", 4) { df =>
+        processed += 1
+        if (processed > 1) throw new RuntimeException("simulated kill")
+        scoreFn(df)
+      }
+    }
+    val marker = new java.io.File(s"${Manifest.stagingPath(dir)}/_SUCCESS")
+    assert(marker.exists(), "staging layout missing after first run")
+    val stagedAt = marker.lastModified()
+
+    // resume: the staged layout is REUSED (single full-input pass total),
+    // and each staged bucket directory holds exactly that bucket's rows
+    assert(Manifest.runBucketed(spark, input, dir, "url", 4)(scoreFn) == 3)
+    assert(marker.lastModified() == stagedAt, "resume re-staged the input")
+    val totalStaged = spark.read.parquet(Manifest.stagingPath(dir)).count()
+    assert(totalStaged == 100)
+    assert(Manifest.readCommitted(spark, dir).count() == 100)
+  }
+
   test("pendingRows anti-join filters committed buckets") {
     val dir = Files.createTempDirectory("graft_manifest_anti").toString
     val input = SynthCorpus.docsRaw(spark, 100, 4).toDF()
