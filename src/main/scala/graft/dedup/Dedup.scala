@@ -134,12 +134,23 @@ object Dedup {
   // candidate, standard pigeonhole for distance <= 3).
   // ------------------------------------------------------------------
 
-  /** 64-bit SimHash of the lowercased token multiset — one aggregate pass
-    * accumulating 64 signed bit votes, then sign-pack. Pure expressions.
+  /** 64-bit SimHash of the lowercased token multiset. Runs as the fused
+    * native SimHashExpr (one forward scan per document); the
+    * `aggregate`/`zip_with` reference form below evaluates 64 interpreted
+    * lambdas PER TOKEN — identical values (DedupSpec parity test), ~100x
+    * the per-row cost.
     */
-  def simhash(text: Column): Column = {
-    val toks = when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(lower(trim(text)), "\\s+"))
+  def simhash(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SimHashExpr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  /** The pure-Catalyst reference form (kept for the parity test).
+    * Tokens: non-empty ASCII-\s-separated runs of lower(text) — the
+    * canonical tokenizer shape (empty tokens from leading separators are
+    * dropped, not hashed).
+    */
+  def simhashHof(text: Column): Column = {
+    val toks = filter(split(lower(text), "\\s+"), w => length(w) > 0)
     // SQL lambda form: the Scala shiftright/shiftleft APIs require a static
     // shift amount; the SQL expressions take runtime columns.
     val votes = aggregate(

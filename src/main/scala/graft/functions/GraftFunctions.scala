@@ -160,6 +160,9 @@ object GraftFunctions {
       "graft_basic_clean", exprs => BasicCleanExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_perplexity", exprs => PerplexityExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => graft.dedup.SimHashExpr(exprs.head), "built-in")
   }
 
   /** SparkSessionExtensions injection point (for spark-submit via

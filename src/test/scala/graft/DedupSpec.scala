@@ -53,6 +53,23 @@ class DedupSpec extends SparkTestBase {
       s"unrelated docs too close: ${java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))}")
   }
 
+  test("native simhash equals the HOF reference form and stays in codegen") {
+    val corpus = graft.fixtures.SynthCorpus.docsRaw(spark, 120, 4).toDF()
+      .withColumn("text", graft.extract.Clean.basicClean(
+        graft.extract.HtmlText.extractCol(col("html"))))
+      .select("text")
+    val edges = Seq("", " ", "\thello world", "a  b", "MIXED Case",
+      "tab\tand\nnewline", "one").toDF("text")
+    for (df <- Seq(corpus, edges)) {
+      val bad = df.filter(
+        Dedup.simhash(col("text")) =!= Dedup.simhashHof(col("text"))).count()
+      assert(bad == 0)
+    }
+    val plan = spark.range(3).select(Dedup.simhash(
+      concat(lit("tok "), col("id").cast("string"))).as("s"))
+    assert(plan.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
   test("simhashPairs surfaces the exact-dup pair via chunk banding") {
     val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
