@@ -29,6 +29,9 @@ object SparkEntry {
   /** ASCII whitespace split (matches RE2/DuckDB `\s`); documents are ASCII. */
   private val Ws = "\\s+"
 
+  /** Fixed title fed to the q31 fixture (exercises the title-clean chain). */
+  private val BenchmarkTitleFixture = "3 Pages. A Study of Planted Physics Fragments"
+
   private def wordCountAscii(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L))
       .otherwise(size(split(trim(c), Ws)).cast("long"))
@@ -232,28 +235,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- derived datasets (deterministic synthetic corpus; rows-only —
-    // the driver's documents table is DB jargon and legitimately fails the
-    // physics-suitability gates, so the fixture corpus exercises these) ----
+    // ---- derived datasets over the pre-materialized fixture corpus
+    // (pure parquet scans; the driver's documents table is DB jargon and
+    // legitimately fails the physics-suitability gates). q30 stays
+    // rows-only (its block/step batteries aren't SQL-expressible); q31 has
+    // a full DuckDB oracle reading the same materialized files. ----
     "q30_training_examples" -> ((s, dir) => {
-      val raw = graft.fixtures.SynthCorpus.docsRaw(s, 400, 8).toDF()
-      val extracted = raw.withColumn("text",
-        graft.extract.Clean.basicClean(graft.extract.HtmlText.extractCol(col("html"))))
+      val corpus = s.read.parquet(graft.fixtures.SynthCorpus.materializedCorpus(s))
         .withColumn("subject", lit("Physics"))
-      graft.derive.Derive.trainingExamples(extracted, "url", "text", "subject")
+      graft.derive.Derive.trainingExamples(corpus, "url", "text", "subject")
         .select("id", "url", "example_type", "problem_statement", "step_count",
           "difficulty", "topic", "reasoning_type", "quality_score")
         .orderBy("id")
     }),
 
     "q31_benchmark_items" -> ((s, dir) => {
-      val raw = graft.fixtures.SynthCorpus.docsRaw(s, 400, 8).toDF()
-      val extracted = raw.withColumn("text",
-        graft.extract.Clean.basicClean(graft.extract.HtmlText.extractCol(col("html"))))
+      val corpus = s.read.parquet(graft.fixtures.SynthCorpus.materializedCorpus(s))
         .withColumn("subject", lit("Physics"))
-        .withColumn("title", lit("3 Pages. A Study of Planted Physics Fragments"))
+        .withColumn("title", lit(BenchmarkTitleFixture))
         .withColumn("abstract", substring(col("text"), 1, 1200))
-      graft.derive.Derive.benchmarkItems(extracted, "url", "text", "subject",
+      graft.derive.Derive.benchmarkItems(corpus, "url", "text", "subject",
         "title", "abstract")
         .select("url", "clean_title", "n_questions")
         .orderBy("url")
@@ -489,6 +490,45 @@ object SparkEntry {
           |      (a, b) -> (a * 31 + b) % 2147483647)
           |  END AS fp
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // q31 oracle: DuckDB recomputes the eligibility gate + the three
+      // extraction-battery lengths from the SAME materialized fixture
+      // corpus the Spark query scans (patterns are shared constants,
+      // RE2-compatible by construction)
+      "q31_benchmark_items" -> {
+        import graft.derive.Extract
+        val corpusGlob = new java.io.File(
+          "target/graft_fixture/corpus_400").getAbsolutePath + "/*.parquet"
+        def pat(p: String) = "'" + p.replace("'", "''") + "'"
+        def joinedLen(patterns: Seq[String], cap: Int): String = {
+          val lists = patterns
+            .map(p => s"regexp_extract_all(text, ${pat(p)})").mkString(" || ")
+          s"length(trim(array_to_string(list_slice(($lists), 1, $cap), chr(10))))"
+        }
+        val eqLen = joinedLen(Extract.LatexPatterns :+ Extract.EquationIndicator, 10)
+        val derLen = joinedLen(Extract.DerivationPatterns, 5)
+        val asmLen = joinedLen(Extract.AssumptionPatterns, 10)
+        val sampleSql = "substr(lower(text), 1, 1000)"
+        val enCnt = graft.lang.LangId.EnglishStopwords10
+          .map(w => s"(CASE WHEN contains($sampleSql, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val termCnt = (graft.rules.Heuristics.PhysicsIndicators ++
+          graft.rules.Heuristics.VixraIndicators)
+          .map(w => s"(CASE WHEN contains($sampleSql, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val cleanTitle = graft.extract.Clean.titleCleanStr(BenchmarkTitleFixture)
+        s"""WITH c AS (SELECT url, text FROM read_parquet('$corpusGlob')),
+           |elig AS (
+           |  SELECT url, text FROM c
+           |  WHERE length(trim(text)) >= 300
+           |    AND ($enCnt) >= (CASE WHEN contains(lower(url), 'vixra') THEN 2 ELSE 3 END)
+           |    AND ($termCnt) >= (CASE WHEN contains(lower(url), 'vixra') THEN 1 ELSE 2 END))
+           |SELECT url, '$cleanTitle' AS clean_title,
+           |  CAST(1 + (CASE WHEN $eqLen > 100 THEN 1 ELSE 0 END)
+           |         + (CASE WHEN $asmLen > 50 THEN 1 ELSE 0 END)
+           |         + (CASE WHEN $derLen > 100 THEN 1 ELSE 0 END) AS INT) AS n_questions
+           |FROM elig ORDER BY url""".stripMargin
+      },
 
       // the salted two-phase aggregate must equal the plain GROUP BY —
       // DuckDB computes the plain version, proving the salting is lossless

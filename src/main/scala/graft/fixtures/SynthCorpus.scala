@@ -176,6 +176,27 @@ object SynthCorpus {
     }.toDF()
   }
 
+  /** Materialize the extracted+cleaned fixture corpus (url, text) once
+    * under target/ and return its ABSOLUTE path. The derive queries
+    * (q30/q31) read this as a pure parquet scan instead of running the
+    * generator inside the measured query (round-1 verdict: generator cost
+    * dominated their bench time), and the q31 DuckDB oracle reads the same
+    * files by absolute path. Content is deterministic (seeded), so a
+    * pre-existing _SUCCESS-marked directory is reused as-is.
+    */
+  def materializedCorpus(spark: SparkSession, n: Long = 400,
+                         partitions: Int = 8): String = {
+    val dir = new java.io.File(s"target/graft_fixture/corpus_$n").getAbsolutePath
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      docsRaw(spark, n, partitions).toDF()
+        .withColumn("text", graft.extract.Clean.basicClean(
+          graft.extract.HtmlText.extractCol(col("html"))))
+        .select("url", "text")
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** Write both tables under a directory (partitioned by url-hash bucket —
     * the layout the north_star mandates for the real corpus).
     */
