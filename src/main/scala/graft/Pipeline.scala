@@ -95,9 +95,10 @@ object Pipeline {
 
     if (cfg.depth == "basic") {
       // P2/P3 short-circuit: stage 2/3 skipped; defensive defaults (5.0 avg,
-      // default recommendation) — the reference's depth gating.
+      // default recommendation, no issues) — the reference's depth gating.
       return finish(withStage1.withColumn("ppl", lit(Perplexity.MaxPpl))
-        .withColumn("avg_stage2", lit(5.0)), cfg)
+        .withColumn("avg_stage2", lit(5.0))
+        .withColumn("issues", array().cast("array<string>")), cfg)
     }
 
     // M2: perplexity. The model is code-embedded and deterministic, so the
@@ -123,6 +124,9 @@ object Pipeline {
         Stages.dimLiteratureIntegration(col("stats.reference_count"), col("text")))
       .withColumn("avg_stage2",
         Stages.avgStage2(col("dim_math_errors"), col("dim_physics_assumptions"),
+          col("dim_logical_consistency"), col("dim_literature_integration")))
+      .withColumn("issues",
+        Stages.subtleIssues(col("dim_math_errors"), col("dim_physics_assumptions"),
           col("dim_logical_consistency"), col("dim_literature_integration")))
 
     finish(withDims, cfg)

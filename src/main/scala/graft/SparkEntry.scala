@@ -32,6 +32,16 @@ object SparkEntry {
   /** Fixed title fed to the q31 fixture (exercises the title-clean chain). */
   private val BenchmarkTitleFixture = "3 Pages. A Study of Planted Physics Fragments"
 
+  /** Deterministic subject mix for the builder fixtures — exercises every
+    * branch of the domain classifiers.
+    */
+  private def fixtureSubject(url: Column): Column =
+    element_at(
+      array(lit("Classical Mechanics"), lit("Quantum Physics"),
+        lit("Thermodynamics"), lit("Relativity and Gravity"),
+        lit("High Energy Physics")),
+      (pmod(xxhash64(url), lit(5L)) + 1).cast("int"))
+
   private def wordCountAscii(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L))
       .otherwise(size(split(trim(c), Ws)).cast("long"))
@@ -258,6 +268,27 @@ object SparkEntry {
         "title", "abstract")
         .select("url", "clean_title", "n_questions")
         .orderBy("url")
+    }),
+
+    // ---- v2/v3 benchmark builders over the pre-scored fixture corpus
+    // (rows-only: per-concept problem templating isn't SQL-expressible;
+    // builder semantics are golden-tested in BenchmarkBuildersSpec) ----
+    "q36_benchmark_v2" -> ((s, dir) => {
+      val scored = s.read.parquet(graft.fixtures.SynthCorpus.materializedScored(s))
+        .withColumn("subject", SparkEntry.fixtureSubject(col("url")))
+      graft.derive.BenchmarkBuilders.benchmarkItemsV2(scored, "url", "text", "subject")
+        .select("url", "problem_id", "type", "difficulty", "domain",
+          "difficulty_level", "problem_count")
+        .orderBy("problem_id")
+    }),
+
+    "q37_benchmark_v3" -> ((s, dir) => {
+      val scored = s.read.parquet(graft.fixtures.SynthCorpus.materializedScored(s))
+        .withColumn("subject", SparkEntry.fixtureSubject(col("url")))
+      graft.derive.BenchmarkBuilders.benchmarkItemsV3(scored, "url", "text", "subject")
+        .select("url", "problem_id", "type", "difficulty", "domain",
+          "problem_count")
+        .orderBy("problem_id")
     }),
 
     // ---- salted aggregation (A8): provably identical to the plain agg ----

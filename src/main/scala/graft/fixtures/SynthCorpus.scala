@@ -197,6 +197,22 @@ object SynthCorpus {
     dir
   }
 
+  /** Materialize the SCORED fixture corpus (Pipeline.score output columns
+    * needed by the derived-dataset builders) once under target/; pure-scan
+    * input for the v2/v3 benchmark-builder queries (q36/q37).
+    */
+  def materializedScored(spark: SparkSession, n: Long = 400,
+                         partitions: Int = 8): String = {
+    val dir = new java.io.File(s"target/graft_fixture/scored_$n").getAbsolutePath
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      graft.Pipeline.score(docsRaw(spark, n, partitions).toDF(), spark)
+        .select("url", "text", "sophistication", "avg_stage2", "recommendation",
+          "overall_score", "keep", "issues")
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
   /** Write both tables under a directory (partitioned by url-hash bucket —
     * the layout the north_star mandates for the real corpus).
     */

@@ -32,7 +32,8 @@ object RefOracle {
       ref_recommendation: String,
       ref_score: Double,
       ref_keep: Boolean,
-      ref_scrubbed: String)
+      ref_scrubbed: String,
+      ref_issues: Seq[String])
 
   private lazy val pplModel = Perplexity.buildModel()
   private lazy val langModel = LangId.buildModel()
@@ -89,6 +90,9 @@ object RefOracle {
     // C13 scrub
     val scrubbed = PiiScrub.scrubStr(text)
 
-    Labels(url, text, lang, eligible, stage1Pass, soph, avg2, rec, score, keep, scrubbed)
+    val issues = Stages.subtleIssuesStr(me, pa, lc, li)
+
+    Labels(url, text, lang, eligible, stage1Pass, soph, avg2, rec, score, keep,
+      scrubbed, issues)
   }
 }

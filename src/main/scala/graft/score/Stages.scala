@@ -103,6 +103,27 @@ object Stages {
   def avgStage2Str(me: Double, pa: Double, lc: Double, li: Double): Double =
     (me + pa + lc + li) / 4.0
 
+  /** Deterministic subtle_issues[] (replaces the stage-2 LLM's issue list,
+    * models/paper.py:29): one fixed issue string per dimension scoring >= 7
+    * — high stage-2 scores mean MORE problems under the M4 inversion
+    * (classifier.py:337-338), so the flagged dimensions ARE the issues.
+    */
+  val IssueThreshold = 7.0
+  private val IssueLabels = Seq(
+    "potential mathematical errors",
+    "questionable physics assumptions",
+    "logical consistency concerns",
+    "weak literature integration")
+
+  def subtleIssues(me: Column, pa: Column, lc: Column, li: Column): Column =
+    filter(array(Seq(me, pa, lc, li).zip(IssueLabels).map { case (d, l) =>
+      when(d >= IssueThreshold, lit(l)).otherwise(lit(null).cast("string"))
+    }: _*), x => x.isNotNull)
+
+  def subtleIssuesStr(me: Double, pa: Double, lc: Double, li: Double): Seq[String] =
+    Seq(me, pa, lc, li).zip(IssueLabels)
+      .collect { case (d, l) if d >= IssueThreshold => l }
+
   // ------------------------------------------------------------------
   // M3 — stage-3 recommendation enum (replaces classifier.py:260-325;
   // enum at prompts/classifier_prompts.py:143-148, default
