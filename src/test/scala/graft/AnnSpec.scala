@@ -56,6 +56,21 @@ class AnnSpec extends SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("partial top-k aggregate equals the window reference form exactly") {
+    val queries = corpus.filter(col("vec_id") < 25)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    val agg = rows(Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", 4))
+    val win = rows(Ann.bruteForceTopKWindow(corpus, queries, "vec_id", "embedding", 4))
+    assert(agg == win)
+    assert(agg.size == 25 * 4)
+    // partition-invariance of the aggregate (map-side partial merge path)
+    val repart = rows(Ann.bruteForceTopK(corpus.repartition(13), queries,
+      "vec_id", "embedding", 4))
+    assert(repart == win)
+  }
+
   test("cosine near-dup pairs finds a planted duplicate embedding") {
     val dup = Seq((500L, vec(7).map(v => v * 1.001f))).toDF("vec_id", "embedding")
     val pairs = Ann.cosineNearDupPairs(corpus.union(dup), "vec_id", "embedding",
