@@ -59,13 +59,14 @@ object Pipeline {
     graft.functions.GraftFunctions.register(spark)
 
     // E1 + C1: extraction and basic clean — THE byte-identical surface.
-    // Both run as single-pass scanners (BasicCleanExpr fuses the two regex
-    // rewrites). The html blob is dropped immediately after extraction: it
-    // would otherwise be serialized through the mapPartitions stage
-    // (4KB+/row of pure memory traffic — at 10^12 docs that is petabytes).
+    // Fused into ONE scan (ExtractCleanExpr): html bytes → cleaned text,
+    // no intermediate extraction string, no separate clean pass (the
+    // chained extractCol + graft_basic_clean forms remain and are
+    // equality-tested against this). The html blob is dropped immediately
+    // after: it would otherwise be serialized onward (4KB+/row of pure
+    // memory traffic — at 10^12 docs that is petabytes).
     val extracted = docsRaw
-      .withColumn("text",
-        call_function("graft_basic_clean", HtmlText.extractCol(col("html"))))
+      .withColumn("text", call_function("graft_extract_clean", col("html")))
       .drop("html")
 
     // P4: langid (fastText-style hashed n-gram model, broadcast).

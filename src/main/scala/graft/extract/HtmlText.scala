@@ -164,6 +164,116 @@ object HtmlText {
     catch { case _: Exception => extractSimple(html) }
   }
 
+  /** FUSED extract + C1 basic clean: one forward scan from decoded html to
+    * the final cleaned text (the round-1 stretch item — the pipeline's
+    * remaining DRAM traffic was the extraction output materializations:
+    * scan buffer → per-line strings → join → newline-collapse regex →
+    * clean pass → output, six string copies per document; this emits ONE).
+    *
+    * Why it is equivalent to `basicCleanStr(extractRich(html))`: C1
+    * collapses every (?U)\s run to a single space and strips non-ASCII, so
+    * extractRich's intermediate line-trim/newline-collapse normalization —
+    * pure whitespace restructuring — is invisible to the cleaned output.
+    * The scan therefore classifies each emitted char directly with the C1
+    * rules (ws-run → one ' '; non-ASCII dropped WITHOUT merging adjacent
+    * ws runs — the reference's collapse-before-strip order, cf.
+    * basicCleanFastStr). Block tags count as whitespace (they inserted
+    * "\n\n"); comments/script blocks emit nothing and leave the ws-run
+    * state untouched, exactly like their removal did.
+    *
+    * Documented divergence (same class as the U+001C note in Clean): a C0
+    * control char that is NOT Unicode whitespace sitting at a line edge
+    * was stripped by extractRich's per-line trim but is kept here; no
+    * reference input path can produce one (they never survive the
+    * reference's own cleaning) and the fixture/corpus generators emit
+    * none. Equality vs the chained form is property-tested over the
+    * corpus and an html-shaped generator in StatsFusedSpec/PropertySpec.
+    */
+  def extractCleanStr(html: String): String = {
+    val n = html.length
+    val sb = new java.lang.StringBuilder(math.min(n, 1 << 16))
+    var prevWs = false
+    @inline def emit(c: Char): Unit = {
+      if (graft.rules.TokenStats.isUnicodeWs(c)) {
+        if (!prevWs) sb.append(' ')
+        prevWs = true
+      } else {
+        prevWs = false
+        if (c <= 0x7F) sb.append(c)
+      }
+    }
+    @inline def emitWs(): Unit = { if (!prevWs) sb.append(' '); prevWs = true }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          var j = i + 1
+          val closing = j < n && html.charAt(j) == '/'
+          if (closing) j += 1
+          val nameStart = j
+          while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          if (!closing && SkipTagSet.contains(name)) {
+            val close = "</" + name
+            var k = i + 1
+            var found = -1
+            while (found < 0 && k >= 0 && k < n) {
+              k = html.indexOf('<', k)
+              if (k < 0) found = -2
+              else if (k + close.length <= n &&
+                html.regionMatches(true, k, close, 0, close.length)) found = k
+              else k += 1
+            }
+            if (found >= 0) {
+              val gt = html.indexOf('>', found)
+              i = if (gt < 0) n else gt + 1
+            } else i = n
+          } else {
+            if (BlockTagSet.contains(name)) emitWs() // was "\n\n"
+            val gt = html.indexOf('>', i)
+            i = if (gt < 0) n else gt + 1
+          }
+        }
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 12) {
+          val name = html.substring(i + 1, semi)
+          val rep: String =
+            if (name.startsWith("#x") || name.startsWith("#X"))
+              try String.valueOf(Integer.parseInt(name.substring(2), 16).toChar)
+              catch { case _: Exception => null }
+            else if (name.startsWith("#"))
+              try String.valueOf(Integer.parseInt(name.substring(1)).toChar)
+              catch { case _: Exception => null }
+            else EntityMap.getOrElse(name, null)
+          if (rep != null) {
+            var r = 0
+            while (r < rep.length) { emit(rep.charAt(r)); r += 1 }
+            i = semi + 1
+          } else { emit(c); i += 1 }
+        } else { emit(c); i += 1 }
+      } else {
+        emit(c)
+        i += 1
+      }
+    }
+    sb.toString.trim
+  }
+
+  /** Fused bytes → cleaned text with the same fallback discipline as
+    * `extract` (scan failure → simple strip + chained clean).
+    */
+  def extractClean(bytes: Array[Byte]): String = {
+    val html = decodeUtf8Ignore(bytes)
+    if (html.isEmpty) return ""
+    try extractCleanStr(html)
+    catch { case _: Exception => Clean.basicCleanFastStr(extractSimple(html)) }
+  }
+
   /** Column form. A deterministic Scala UDF — the extraction is genuinely
     * imperative (fallback chain + stateful entity decode), one of the two
     * sanctioned non-expression points (SURVEY.md §7.3).

@@ -57,6 +57,25 @@ case class BasicCleanExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_basic_clean"
 }
 
+/** E1 + C1 fused: raw html bytes → extracted, basic-cleaned text in ONE
+  * scan (HtmlText.extractClean) — no intermediate extraction string, no
+  * separate clean pass. Replaces the UDF + graft_basic_clean pair on the
+  * pipeline hot path; equality vs the chained forms is property-tested.
+  */
+case class ExtractCleanExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      graft.extract.HtmlText.extractClean(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.extract.HtmlText.extractClean($c))")
+  override protected def withNewChildInternal(newChild: Expression): ExtractCleanExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_extract_clean"
+}
+
 /** M2 perplexity as a native expression over the JVM-static model (see
   * Perplexity.Shared) — identical scores to the broadcast/mapPartitions
   * path by construction (same Model.score).
@@ -163,6 +182,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_simhash",
       exprs => graft.dedup.SimHashExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_extract_clean", exprs => ExtractCleanExpr(exprs.head), "built-in")
   }
 
   /** SparkSessionExtensions injection point (for spark-submit via

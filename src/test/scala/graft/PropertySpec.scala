@@ -59,6 +59,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("fused extract+clean equals chained extract -> basicClean (property)") {
+    // html-shaped generator over the documented input domain (no bare C0
+    // control chars — see HtmlText.extractCleanStr divergence note)
+    val htmlGen: Gen[String] = Gen.listOf(Gen.frequency(
+      4 -> Gen.asciiPrintableStr,
+      2 -> Gen.oneOf("<p>", "</p>", "<div>", "<br>", "<b>", "</b>",
+        "<li>", "<table>", "<H2>", "</H2>", "<span class='x'>", "</span>"),
+      1 -> Gen.oneOf("&amp;", "&nbsp;", "&eacute;", "&lt;", "&#65;", "&#x42;",
+        "&bogus;", "& loose"),
+      1 -> Gen.oneOf("<!-- c -->", "<script>x='<i>'</script>",
+        "<style>p{}</style>", "<tag", "α β", "ﬁ", "\n", "\t", "  "),
+      1 -> Gen.listOf(Gen.choose(0x20.toChar, 0x2FF.toChar)).map(_.mkString)
+    )).map(_.mkString(" "))
+    check(Prop.forAll(htmlGen) { t =>
+      val b = t.getBytes("UTF-8")
+      graft.extract.HtmlText.extractClean(b) ==
+        Clean.basicCleanStr(graft.extract.HtmlText.extract(b))
+    })
+  }
+
   test("scrub is idempotent and never reveals an email (property)") {
     val emailGen = for {
       u <- Gen.alphaLowerStr.suchThat(_.nonEmpty)

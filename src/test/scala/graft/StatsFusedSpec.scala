@@ -65,6 +65,32 @@ class StatsFusedSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("fused extract+clean equals the chained extract -> basicClean forms") {
+    // corpus bytes (the real input shape)
+    val raws = graft.fixtures.SynthCorpus.docsRaw(spark, 200, 4)
+      .collect().map(_.html)
+    for (b <- raws) {
+      val chained = graft.extract.Clean.basicCleanStr(graft.extract.HtmlText.extract(b))
+      assert(graft.extract.HtmlText.extractClean(b) == chained)
+    }
+    // edge cases: entities (ascii + non-ascii + nbsp), block/skip tags,
+    // comments, malformed tags, ws-run/non-ascii interleaving
+    val edges = Seq(
+      "", "<p>a</p>", "a<!--x-->b", "a <!-- x --> b",
+      "<script>var x = '<p>';</script>after",
+      "a&nbsp;&nbsp;b", "x &eacute; y", "5 &lt; 6 &amp; 7 &gt; 4",
+      "<div>one</div><div>two</div>", "<ul><li>i1</li><li>i2</li></ul>",
+      "no tags at all", "broken <tag", "amp & alone; x",
+      "café ﬁn ﬂy", "a α\tb", "&#65;&#x42;c",
+      "<H1>Upper</H1> <BR> next", "<p >spaced attr</p >",
+      "<style type='x'>p{}</style>kept")
+    for (t <- edges) {
+      val b = t.getBytes("UTF-8")
+      val chained = graft.extract.Clean.basicCleanStr(graft.extract.HtmlText.extract(b))
+      assert(graft.extract.HtmlText.extractClean(b) == chained, s"<$t>")
+    }
+  }
+
   test("fused pattern counts equal the regexp_extract_all battery") {
     val cases = Seq("$x=1$ and $$y$$ \\frac{a}{b} 3.14 [1] (2023) E = mc2 more",
       "", "no patterns here", "\\int f dx \\sum x [12] et al. Ref. 3")
