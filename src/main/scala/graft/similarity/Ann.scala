@@ -88,14 +88,31 @@ object Ann {
   // ------------------------------------------------------------------
 
   /** Deterministic hyperplanes: component h[p][d] from a seeded xorshift —
-    * pure function of (p, d), no RNG object, reproducible everywhere.
+    * pure function of (table, p, d), no RNG object, reproducible
+    * everywhere. `table` selects an independent plane set for multi-table
+    * OR-amplification; table 0 is bit-identical to the round-1 planes (the
+    * q24/q25 DuckDB oracles inline them).
     */
-  def hyperplanes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+  def hyperplanes(numPlanes: Int, dim: Int, table: Int = 0): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim) { (p, d) =>
-      var x = (p.toLong * 2654435761L + d.toLong * 40503L + 42L) | 1L
+      var x = (p.toLong * 2654435761L + d.toLong * 40503L +
+        table.toLong * 9576890767L + 42L) | 1L
       x ^= x << 13; x ^= x >>> 7; x ^= x << 17
       (x.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
     }
+
+  /** (table, bucket) struct array for OR-amplified bucketing: a vector
+    * lands in one bucket PER TABLE; two vectors are candidates if they
+    * collide in ANY table (P[candidate] = 1 - (1 - p^planes)^tables —
+    * tables raise recall without enlarging buckets, the scale-correct
+    * recall knob alongside numPlanes).
+    */
+  private def tableBuckets(vec: Column, numPlanes: Int, dim: Int,
+                           numTables: Int): Column =
+    array((0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        lshBucket(vec, hyperplanes(numPlanes, dim, t)).as("b"))
+    }: _*)
 
   /** Pack sign(dot(v, h_p)) bits into an int bucket id. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
@@ -104,23 +121,26 @@ object Ann {
       when(d >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** LSH-bucketed ANN: candidates share a bucket; exact cosine re-rank
-    * within bucket. Equi-join on bucket id — shuffle scales with corpus
-    * size, never N². Recall is tunable via numPlanes (fewer planes →
-    * bigger buckets → higher recall, more compute).
+  /** LSH-bucketed ANN: candidates share a bucket in ANY of `numTables`
+    * independent plane sets; exact cosine re-rank over the deduplicated
+    * candidates. Equi-join on (table, bucket) — shuffle scales with
+    * corpus size × tables, never N². Recall knobs: fewer planes → bigger
+    * buckets (more compute per bucket); more tables → more chances to
+    * collide (OR-amplification, compute scales linearly in tables).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 8,
-              dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+              dim: Int = 64, numTables: Int = 1): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), planes))
+      .withColumn("tb", explode(tableBuckets(col("qv"), numPlanes, dim, numTables)))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .withColumn("bucket", lshBucket(col("cv"), planes))
+      .withColumn("tb", explode(tableBuckets(col("cv"), numPlanes, dim, numTables)))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored = c.join(broadcast(q), Seq("tb"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair colliding in several tables is ONE candidate
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos",
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
@@ -140,27 +160,28 @@ object Ann {
     * dropped_rows, max_bucket_size)` on the plan
     * (`result.queryExecution.observedMetrics`; AnnSpec plants a mega-bucket
     * and asserts both the bound and the report). The rank window shuffles
-    * on `bucket` — the same partitioning the pairing join needs, so the
-    * cap adds no extra shuffle. For recall at scale, raise numPlanes (more,
-    * smaller buckets) rather than maxBucket.
+    * on the (table, bucket) key — the same partitioning the pairing join
+    * needs, so the cap adds no extra shuffle. For recall at scale, raise
+    * numTables (OR-amplification: independent plane sets, linear compute)
+    * or numPlanes (more, smaller buckets) rather than maxBucket.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.95, numPlanes: Int = 8,
-                         dim: Int = 64, maxBucket: Int = 4096): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
+                         dim: Int = 64, maxBucket: Int = 4096,
+                         numTables: Int = 1): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
+      .withColumn("tb", explode(tableBuckets(col("v"), numPlanes, dim, numTables)))
       .withColumn("n", sqrt(dot(col("v"), col("v"))))
-    val wB = Window.partitionBy("bucket").orderBy("id")
+    val wB = Window.partitionBy("tb").orderBy("id")
     val capped = v.withColumn("rnk", row_number().over(wB))
       .observe("cos_neardup_bucket_cap",
         sum(when(col("rnk") > maxBucket, 1L).otherwise(0L)).as("dropped_rows"),
         max(col("rnk")).as("max_bucket_size"))
       .filter(col("rnk") <= maxBucket)
       .drop("rnk")
-    val a = capped.select(col("bucket"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
-    val b = capped.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    a.join(b, Seq("bucket"))
+    val a = capped.select(col("tb"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
+    val b = capped.select(col("tb"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
+    a.join(b, Seq("tb"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))

@@ -56,6 +56,23 @@ class AnnSpec extends SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("multi-table OR-amplification raises LSH recall, never lowers it") {
+    val k = 5
+    val queries = corpus.filter(col("vec_id") < 20)
+    val brute = Ann.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(tables: Int): Double = {
+      val got = Ann.lshTopK(corpus, queries, "vec_id", "embedding", k,
+        numPlanes = 6, dim = 16, numTables = tables)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val r1 = recall(1); val r4 = recall(4)
+    info(f"recall@$k: 1 table $r1%.3f, 4 tables $r4%.3f (6 planes)")
+    assert(r4 >= r1, f"OR-amplification lowered recall: $r1%.3f -> $r4%.3f")
+    assert(r4 > r1, "4 tables should strictly beat 1 at 6 planes on this corpus")
+  }
+
   test("partial top-k aggregate equals the window reference form exactly") {
     val queries = corpus.filter(col("vec_id") < 25)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
