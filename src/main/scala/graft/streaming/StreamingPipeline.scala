@@ -26,6 +26,20 @@ object StreamingPipeline {
   def score(streamingDocs: DataFrame, spark: SparkSession): DataFrame =
     graft.Pipeline.score(streamingDocs, spark)
 
+  /** Streaming face of the derived-dataset builders: the training-example
+    * and v3 benchmark batteries are NARROW plans (gate → per-row regexp
+    * batteries → explode), so they run unchanged on a scored stream —
+    * continuous training-data derivation next to the filter sink.
+    * StreamingDeriveSpec proves micro-batches ≡ batch rows.
+    */
+  def trainingExamplesStream(scoredStream: DataFrame): DataFrame =
+    graft.derive.Derive.trainingExamples(
+      scoredStream.withColumn("subject", lit("Physics")), "url", "text", "subject")
+
+  def benchmarkItemsV3Stream(scoredStream: DataFrame): DataFrame =
+    graft.derive.BenchmarkBuilders.benchmarkItemsV3(
+      scoredStream.withColumn("subject", lit("Physics")), "url", "text", "subject")
+
   /** Windowed keep-rate monitoring: 1-minute tumbling windows on warc_ts
     * with a 2-minute watermark — late crawl records beyond the watermark are
     * dropped, state is bounded (north-star driver-light requirement).

@@ -82,3 +82,47 @@ class StreamingStateSpec extends SparkTestBase {
     assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 }
+
+/** The derive/builder batteries are narrow plans — they must run on a
+  * stream and reproduce the batch rows exactly.
+  */
+class StreamingDeriveSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.fixtures.SynthCorpus
+  import graft.model.WebDoc
+  import graft.streaming.StreamingPipeline
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("streaming training examples and v3 benchmark items equal batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 150L).map(SynthCorpus.docFor)
+    val stream = MemoryStream[WebDoc]
+    stream.addData(docs.take(70))
+    stream.addData(docs.drop(70))
+
+    val scoredStream = StreamingPipeline.score(stream.toDF(), spark)
+    val q1 = StreamingPipeline.trainingExamplesStream(scoredStream)
+      .select("id", "example_type", "difficulty", "quality_score")
+      .writeStream.format("memory").queryName("train_stream")
+      .outputMode("append").start()
+    val q2 = StreamingPipeline.benchmarkItemsV3Stream(scoredStream)
+      .select("problem_id", "type", "difficulty")
+      .writeStream.format("memory").queryName("bench_stream")
+      .outputMode("append").start()
+    try { q1.processAllAvailable(); q2.processAllAvailable() }
+    finally { q1.stop(); q2.stop() }
+
+    val scoredBatch = Pipeline.score(docs.toDF(), spark)
+    val trainBatch = StreamingPipeline.trainingExamplesStream(scoredBatch)
+      .select("id", "example_type", "difficulty", "quality_score")
+      .collect().map(_.toSeq).toSet
+    val trainStreamed = spark.table("train_stream").collect().map(_.toSeq).toSet
+    assert(trainStreamed.nonEmpty && trainStreamed == trainBatch)
+
+    val benchBatch = StreamingPipeline.benchmarkItemsV3Stream(scoredBatch)
+      .select("problem_id", "type", "difficulty")
+      .collect().map(_.toSeq).toSet
+    val benchStreamed = spark.table("bench_stream").collect().map(_.toSeq).toSet
+    assert(benchStreamed.nonEmpty && benchStreamed == benchBatch)
+  }
+}
