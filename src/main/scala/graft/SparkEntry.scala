@@ -291,6 +291,27 @@ object SparkEntry {
         .orderBy("problem_id")
     }),
 
+    // ---- training gate + E13 block-battery counts: the oracle-checkable
+    // layer of the q30 derive path (DuckDB recomputes the suitability gate
+    // and all 14 battery patterns with their length windows and term
+    // filters over the same materialized corpus; the fused
+    // BlockExtractExpr computes the Spark side) ----
+    "q38_training_gate" -> ((s, dir) => {
+      val corpus = s.read.parquet(graft.fixtures.SynthCorpus.materializedCorpus(s))
+      val fused = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.derive.BlockExtractExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text"))))
+      corpus
+        .withColumn("__bx", fused)
+        .select(col("url"),
+          graft.derive.Derive.suitableForTraining(col("text"), col("url"))
+            .as("suitable"),
+          least(size(col("__bx.derivations")), lit(5)).as("n_derivations"),
+          least(size(col("__bx.solutions")), lit(5)).as("n_solutions"),
+          least(size(col("__bx.proofs")), lit(2)).as("n_proofs"))
+        .orderBy("url")
+    }),
+
     // ---- salted aggregation (A8): provably identical to the plain agg ----
     "q32_salted_stats" -> ((s, dir) => {
       graft.agg.DomainStats.saltedStats(docs(s, dir), "source", "text", "n_chars")
@@ -530,7 +551,12 @@ object SparkEntry {
         import graft.derive.Extract
         val corpusGlob = new java.io.File(
           "target/graft_fixture/corpus_400").getAbsolutePath + "/*.parquet"
-        def pat(p: String) = "'" + p.replace("'", "''") + "'"
+        // RE2 pattern → SQL literal: escape quotes, and turn REAL newline
+        // chars inside patterns into the RE2 \n escape — a raw newline
+        // followed by '|' would otherwise be EATEN by stripMargin and
+        // silently corrupt the alternation
+        def pat(p: String) =
+          "'" + p.replace("'", "''").replace("\n", "\\n") + "'"
         def joinedLen(patterns: Seq[String], cap: Int): String = {
           val lists = patterns
             .map(p => s"regexp_extract_all(text, ${pat(p)})").mkString(" || ")
@@ -559,6 +585,48 @@ object SparkEntry {
            |         + (CASE WHEN $asmLen > 50 THEN 1 ELSE 0 END)
            |         + (CASE WHEN $derLen > 100 THEN 1 ELSE 0 END) AS INT) AS n_questions
            |FROM elig ORDER BY url""".stripMargin
+      },
+
+      // q38 oracle: suitability gate + the E13 batteries recomputed in SQL
+      // (patterns/windows/term-filters are shared constants, RE2-safe)
+      "q38_training_gate" -> {
+        import graft.derive.{Derive, Extract}
+        val corpusGlob = new java.io.File(
+          "target/graft_fixture/corpus_400").getAbsolutePath + "/*.parquet"
+        // RE2 pattern → SQL literal: escape quotes, and turn REAL newline
+        // chars inside patterns into the RE2 \n escape — a raw newline
+        // followed by '|' would otherwise be EATEN by stripMargin and
+        // silently corrupt the alternation
+        def pat(p: String) =
+          "'" + p.replace("'", "''").replace("\n", "\\n") + "'"
+        def cnt(terms: Seq[String], over: String) = terms
+          .map(w => s"(CASE WHEN contains($over, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        // _contains_english_physics_terms over a candidate block `m`
+        val phys = cnt(Extract.EnglishPhysicsTerms, "lower(m)")
+        val vix = cnt(Extract.VixraPhysicsTerms, "lower(m)")
+        val en = cnt(Extract.CommonEnglish, "lower(m)")
+        def batterySql(patterns: Seq[String], lo: Int, hi: Int, cap: Int): String = {
+          val pred =
+            s"length(m) > $lo AND length(m) < $hi AND ((($phys) >= 1 OR ($vix) >= 2) AND ($en) >= 2)"
+          val lists = patterns
+            .map(p => s"len(list_filter(regexp_extract_all(text, ${pat(p)}), m -> $pred))")
+            .mkString(" + ")
+          s"least($lists, $cap)"
+        }
+        val sample = "substr(lower(text), 1, 2000)"
+        val en14 = cnt(graft.lang.LangId.EnglishStopwords14, sample)
+        val stepPhys = cnt(Derive.TrainingStepIndicators ++
+          Derive.TrainingPhysIndicators, sample)
+        s"""SELECT url,
+           |  (length(trim(text)) >= 500
+           |   AND ($en14) >= (CASE WHEN contains(lower(url), 'vixra') THEN 5 ELSE 8 END)
+           |   AND ($stepPhys) >= (CASE WHEN contains(lower(url), 'vixra') THEN 2 ELSE 3 END))
+           |    AS suitable,
+           |  CAST(${batterySql(Extract.CompleteDerivationPatterns, 100, 2500, 5)} AS INT) AS n_derivations,
+           |  CAST(${batterySql(Extract.WorkedSolutionPatterns, 80, 1800, 5)} AS INT) AS n_solutions,
+           |  CAST(${batterySql(Extract.ProofPatterns, 100, 1200, 2)} AS INT) AS n_proofs
+           |FROM read_parquet('$corpusGlob') ORDER BY url""".stripMargin
       },
 
       // the salted two-phase aggregate must equal the plain GROUP BY —

@@ -26,17 +26,22 @@ object Derive {
     * len >= 500; 14-word English count over text[:2000] >= 5 (vixra) / 8;
     * step+physics indicator count >= 2 (vixra) / 3.
     */
+  val TrainingStepIndicators: Seq[String] = Seq("step", "first", "second",
+    "next", "then", "therefore", "thus", "hence", "derivation", "proof",
+    "solution")
+  val TrainingPhysIndicators: Seq[String] = Seq("calculate", "derive",
+    "obtain", "find", "result", "using", "apply", "given", "assume",
+    "consider")
+
   def suitableForTraining(text: Column, url: Column): Column = {
     val isVixra = lower(url).contains("vixra")
     val sample = lower(substring(text, 1, 2000))
     val enCount = LangId.EnglishStopwords14
       .map(w => when(sample.contains(w), 1).otherwise(0)).reduce(_ + _)
-    val stepIndicators = Seq("step", "first", "second", "next", "then",
-      "therefore", "thus", "hence", "derivation", "proof", "solution")
-    val physIndicators = Seq("calculate", "derive", "obtain", "find",
-      "result", "using", "apply", "given", "assume", "consider")
-    val stepCount = stepIndicators.map(w => when(sample.contains(w), 1).otherwise(0)).reduce(_ + _)
-    val physCount = physIndicators.map(w => when(sample.contains(w), 1).otherwise(0)).reduce(_ + _)
+    val stepCount = TrainingStepIndicators
+      .map(w => when(sample.contains(w), 1).otherwise(0)).reduce(_ + _)
+    val physCount = TrainingPhysIndicators
+      .map(w => when(sample.contains(w), 1).otherwise(0)).reduce(_ + _)
     (length(trim(text)) >= 500) &&
       (enCount >= when(isVixra, 5).otherwise(8)) &&
       ((stepCount + physCount) >= when(isVixra, 2).otherwise(3))

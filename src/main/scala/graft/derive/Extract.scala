@@ -171,13 +171,13 @@ object Extract {
   // (enhanced_paper_analyser.py:739-800): DOTALL+IGNORECASE batteries with
   // length windows and the English-physics-terms gate.
   // ------------------------------------------------------------------
-  private val EnglishPhysicsTerms = Seq(
+  val EnglishPhysicsTerms: Seq[String] = Seq(
     "equation", "energy", "force", "field", "particle", "wave", "quantum",
     "mass", "velocity", "acceleration")
-  private val VixraPhysicsTerms = Seq(
+  val VixraPhysicsTerms: Seq[String] = Seq(
     "gravity", "gravitational", "universe", "cosmic", "theory", "model",
     "physics", "space", "time")
-  private val CommonEnglish = Seq(
+  val CommonEnglish: Seq[String] = Seq(
     "the", "and", "of", "to", "a", "in", "we", "can", "from", "with",
     "is", "are", "this", "that")
 
