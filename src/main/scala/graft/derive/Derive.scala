@@ -79,12 +79,17 @@ object Derive {
       .select(col("url"), col("subject"),
         col("b.example_type").as("example_type"), col("b.block").as("block"))
 
-    // _create_training_example (enhanced_paper_analyser.py:820-860)
+    // _create_training_example (enhanced_paper_analyser.py:820-860).
+    // Steps run as the fused ReasoningStepsExpr (identical values to
+    // Extract.reasoningStepsAnalyser — DeriveSpec parity test)
     val cleaned = Clean.trainingClean(col("block"))
+    val fusedSteps = org.apache.spark.sql.GraftColumnBridge.column(
+      ReasoningStepsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("cleaned"))))
     val withSteps = withBlocks
       .withColumn("cleaned", cleaned)
       .filter(length(col("cleaned")) >= 50)
-      .withColumn("steps", Extract.reasoningStepsAnalyser(col("cleaned")))
+      .withColumn("steps", fusedSteps)
       .filter(size(col("steps")) >= 2)
 
     val solSteps = Extract.solutionSteps(col("steps"))

@@ -136,15 +136,15 @@ object Extract {
     "(?i)(?:This gives|This yields|We see that|It follows that)[^.]*\\.",
     "(?i)(?:Since|Because|As)[^.]*(?:we have|we get|we obtain)[^.]*\\.")
 
-  private val AnalyserMeaningful = Seq(
+  val AnalyserMeaningful: Seq[String] = Seq(
     "equation", "energy", "force", "calculate", "derive", "obtain",
     "result", "therefore", "using", "from")
-  private val AnalyserVixra = Seq(
+  val AnalyserVixra: Seq[String] = Seq(
     "gravity", "universe", "theory", "model", "space", "time", "field",
     "particle", "mass", "velocity")
-  private val AnalyserAvoid = Seq(
+  val AnalyserAvoid: Seq[String] = Seq(
     "page", "figure", "table", "reference", "citation", "admin", "note")
-  private val AnalyserCommon = Seq(
+  val AnalyserCommon: Seq[String] = Seq(
     "the", "and", "of", "to", "we", "is", "this", "that")
 
   /** _is_meaningful_step (enhanced_paper_analyser.py:951-966). */

@@ -176,6 +176,7 @@ class DeriveSpec extends SparkTestBase {
 /** Fused BlockExtractExpr must equal the Catalyst battery forms exactly. */
 class BlockExtractParitySpec extends SparkTestBase {
   import org.apache.spark.sql.functions._
+  import spark.implicits._
 
   test("fused blocks equal Extract.* batteries on the fixture corpus") {
     val texts = graft.fixtures.SynthCorpus.docsRaw(spark, 200, 4).toDF()
@@ -193,5 +194,34 @@ class BlockExtractParitySpec extends SparkTestBase {
         col("bx.proofs") =!= graft.derive.Extract.mathematicalProofs(col("text")))
       .count()
     assert(bad == 0)
+  }
+
+  test("fused reasoning steps equal the Column form on corpus blocks and edges") {
+    import graft.derive.{Extract, ReasoningStepsExpr}
+    def fused(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(ReasoningStepsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+    // the real shape: cleaned blocks from the corpus derive path
+    val blocks = graft.fixtures.SynthCorpus.docsRaw(spark, 200, 4).toDF()
+      .withColumn("text",
+        graft.extract.Clean.basicClean(graft.extract.HtmlText.extractCol(col("html"))))
+      .select(explode(concat(
+        Extract.completeDerivations(col("text")),
+        Extract.workedSolutions(col("text")))).as("block"))
+      .withColumn("cleaned", graft.extract.Clean.trainingClean(col("block")))
+    val bad = blocks.filter(
+      fused(col("cleaned")) =!= Extract.reasoningStepsAnalyser(col("cleaned"))).count()
+    assert(blocks.count() > 50, "corpus must produce blocks to compare")
+    assert(bad == 0)
+    // edge strings: trim semantics (space vs tab), windows, fallback append
+    val edgeSeq: Seq[String] = Seq("", "x", "First we derive the energy equation.",
+      "Given the mass of the system we calculate. Second we obtain the force result.",
+      " First we use the energy equation . short. " +
+        ("the energy result we obtain from the equation " * 3) + ".",
+      "\tFirst\twe derive the energy equation using this force law.",
+      "no patterns but the energy equation result we derive here is long enough to be a sentence.")
+    val edges = edgeSeq.toDF("cleaned")
+    assert(edges.filter(
+      fused(col("cleaned")) =!= Extract.reasoningStepsAnalyser(col("cleaned"))).count() == 0)
   }
 }
