@@ -53,12 +53,12 @@ object BenchmarkBuilders {
   /** _contains_physics_content (enhanced_benchmark_builder.py:404-420):
     * >= 1 of 21 physics terms OR a math char (incl '^').
     */
-  private val V2PhysicsTerms = Seq(
+  private[derive] val V2PhysicsTerms = Seq(
     "energy", "force", "field", "particle", "wave", "mass", "velocity",
     "momentum", "charge", "potential", "frequency", "wavelength",
     "temperature", "pressure", "density", "current", "voltage",
     "magnetic", "electric", "quantum", "classical", "relativistic")
-  private val V2MathChars = Seq("=", "+", "-", "*", "/", "(", ")", "^")
+  private[derive] val V2MathChars = Seq("=", "+", "-", "*", "/", "(", ")", "^")
 
   private def containsPhysicsContentV2(c: Column): Column =
     containsAny(lower(c), V2PhysicsTerms) || containsAny(c, V2MathChars)
@@ -67,7 +67,7 @@ object BenchmarkBuilders {
     * len >= 800 AND (>= 2 'X =' matches OR >= 4 of 10 indicators in
     * text[:2000]).
     */
-  private val V2SuitIndicators = Seq(
+  private[derive] val V2SuitIndicators = Seq(
     "energy", "force", "field", "particle", "wave", "quantum",
     "equation", "formula", "derivation", "calculation")
 
@@ -81,54 +81,54 @@ object BenchmarkBuilders {
   }
 
   /** _extract_actual_concepts_from_paper equation battery (:76-89). */
-  private val V2EqPatterns = Seq(
+  private[derive] val V2EqPatterns = Seq(
     "(?i)([A-Za-z_]\\w*\\s*=\\s*[^,.\\n]{10,80})",
     "(?i)(\\\\frac\\{[^}]+\\}\\{[^}]+\\}(?:\\s*[=+\\-]\\s*[^.]{0,50})?)",
     "(?i)((?:E|F|V|p|m|v|a|g|H|L|T|P)\\s*=\\s*[^,.\\n]{5,60})",
     "(?i)(∇[^.]{5,50})",
     "(?i)(∂[^.]{5,50})")
 
-  private def v2Equations(text: Column): Column =
+  private[graft] def v2Equations(text: Column): Column =
     filter(transform(hitsAll(text, V2EqPatterns), m => Clean.equationClean(m)),
       e => (length(e) > 0) && Gates.isMeaningfulEquation(e))
 
   /** derivation battery (:91-104): group-1 fragments, len > 20 + physics. */
-  private val V2DerivPatterns = Seq(
+  private[derive] val V2DerivPatterns = Seq(
     "(?i)(?:Starting with|Beginning with|From|Given)\\s+([^.]*?(?:equation|formula|relation)[^.]*?)(?:\\.|\\n)",
     "(?i)(?:Substituting|Using|Applying)\\s+([^.]*?(?:=|into|yields?)[^.]*?)(?:\\.|\\n)",
     "(?i)(?:Therefore|Thus|Hence)\\s+([^.]*?=\\s*[^.]*?)(?:\\.|\\n)")
 
-  private def v2Derivations(text: Column): Column =
+  private[graft] def v2Derivations(text: Column): Column =
     filter(transform(hitsAll(text, V2DerivPatterns), m => trim(m)),
       d => (length(d) > 20) && containsPhysicsContentV2(d))
 
   /** scenario battery (:106-118): len > 30 + physics content. */
-  private val V2ScenarioPatterns = Seq(
+  private[derive] val V2ScenarioPatterns = Seq(
     "(?i)(?:Consider|Suppose|Let|Assume)\\s+([^.]*?(?:particle|system|field|wave|oscillator|potential)[^.]*?)(?:\\.|\\n)",
     "(?i)(?:In this|Our|The)\\s+([^.]*?(?:experiment|setup|system|model|approach)[^.]*?)(?:\\.|\\n)",
     "(?i)(?:We study|We consider|We analyze)\\s+([^.]*?)(?:\\.|\\n)")
 
-  private def v2Scenarios(text: Column): Column =
+  private[graft] def v2Scenarios(text: Column): Column =
     filter(transform(hitsAll(text, V2ScenarioPatterns), m => trim(m)),
       s => (length(s) > 30) && containsPhysicsContentV2(s))
 
   /** numerical battery (:120-130) + _is_meaningful_numerical_value
     * (:422-440: a digit, a unit/context substring, len > 5).
     */
-  private val V2NumPatterns = Seq(
+  private[derive] val V2NumPatterns = Seq(
     "(?i)([A-Za-z_]\\w*\\s*=\\s*[0-9]+\\.?[0-9]*(?:\\s*×\\s*10[⁻⁰-⁹]+)?\\s*(?:m|kg|s|Hz|eV|K|Pa|N|J|W|V|A|T|rad)?\\b)",
     "(?i)((?:wavelength|frequency|energy|mass|velocity|temperature|pressure)\\s*(?:of|=|is)\\s*[0-9]+[^.\\n]*)")
-  private val V2NumContexts = Seq(
+  private[derive] val V2NumContexts = Seq(
     "m", "kg", "s", "hz", "ev", "k", "pa", "n", "j", "w", "v", "a", "t",
     "wavelength", "frequency", "energy", "mass", "velocity", "temperature")
 
-  private def v2Numericals(text: Column): Column =
+  private[graft] def v2Numericals(text: Column): Column =
     filter(transform(hitsAll(text, V2NumPatterns), m => trim(m)),
       v => v.rlike("\\d") && containsAny(lower(v), V2NumContexts) &&
         (length(v) > 5))
 
   /** principles battery (:132-146). */
-  private val V2PrinciplePatterns = Seq(
+  private[derive] val V2PrinciplePatterns = Seq(
     "(?i)(conservation of \\w+[^.]*)",
     "(?i)(Newton'?s? \\w+ law[^.]*)",
     "(?i)(Maxwell'?s? equations?[^.]*)",
@@ -136,7 +136,7 @@ object BenchmarkBuilders {
     "(?i)(uncertainty principle[^.]*)",
     "(?i)(thermodynamic \\w+ law[^.]*)")
 
-  private def v2Principles(text: Column): Column =
+  private[graft] def v2Principles(text: Column): Column =
     transform(hitsAll(text, V2PrinciplePatterns), m => trim(m))
 
   /** _assess_problem_difficulty (:461-481) — the concept-based difficulty
@@ -165,13 +165,18 @@ object BenchmarkBuilders {
                        subjectCol: String): DataFrame = {
     val text = col(textCol)
     val url = col(urlCol)
+    // concept batteries run fused (V2ConceptsExpr — identical values to the
+    // v2* Column forms, parity-tested in BenchmarkBuildersSpec)
+    val fusedConcepts = org.apache.spark.sql.GraftColumnBridge.column(
+      V2ConceptsExpr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
     val base = scored
       .filter(suitableForBenchmarkV2(text))
-      .withColumn("__eqs", v2Equations(text))
-      .withColumn("__derivs", v2Derivations(text))
-      .withColumn("__scens", v2Scenarios(text))
-      .withColumn("__nums", v2Numericals(text))
-      .withColumn("__prins", v2Principles(text))
+      .withColumn("__cx", fusedConcepts)
+      .withColumn("__eqs", col("__cx.equations"))
+      .withColumn("__derivs", col("__cx.derivations"))
+      .withColumn("__scens", col("__cx.scenarios"))
+      .withColumn("__nums", col("__cx.numericals"))
+      .withColumn("__prins", col("__cx.principles"))
       // `return None` when every concept list is empty (:148)
       .filter(size(col("__eqs")) + size(col("__derivs")) + size(col("__scens")) +
         size(col("__nums")) + size(col("__prins")) > 0)
@@ -275,7 +280,7 @@ object BenchmarkBuilders {
   /** _contains_physics_content v3 (:377-388): term presence ONLY (no math
     * fallback, 17 terms).
     */
-  private val V3PhysicsTerms = Seq(
+  private[derive] val V3PhysicsTerms = Seq(
     "energy", "force", "field", "particle", "wave", "mass", "velocity",
     "momentum", "charge", "potential", "frequency", "wavelength",
     "temperature", "pressure", "current", "magnetic", "electric")
@@ -286,8 +291,8 @@ object BenchmarkBuilders {
   /** _is_physics_equation (:333-346): '=', len >= 5, physics var (incl
     * psi/phi), math op (incl sqrt).
     */
-  private val V3PhysicsVars = Gates.PhysicsVars ++ Seq("ψ", "φ")
-  private val V3MathOps = Gates.MathOps :+ "√"
+  private[derive] val V3PhysicsVars = Gates.PhysicsVars ++ Seq("ψ", "φ")
+  private[derive] val V3MathOps = Gates.MathOps :+ "√"
 
   def isPhysicsEquationV3(eq: Column): Column =
     eq.contains("=") && (length(trim(eq)) >= 5) &&
@@ -304,7 +309,7 @@ object BenchmarkBuilders {
   /** _is_suitable_for_benchmark v3 (:396-411): len >= 600 AND
     * (>= 1 'X =' match OR >= 3 of 7 terms in text[:1500]).
     */
-  private val V3SuitTerms = Seq(
+  private[derive] val V3SuitTerms = Seq(
     "energy", "force", "field", "particle", "wave", "mass", "equation")
 
   def suitableForBenchmarkV3(text: Column): Column = {
@@ -314,23 +319,23 @@ object BenchmarkBuilders {
     (length(trim(text)) >= 600) && (hasEq || cnt >= 3)
   }
 
-  private val V3EqPatterns = Seq(
+  private[derive] val V3EqPatterns = Seq(
     "(?i)([A-Za-z_]\\w*\\s*=\\s*[^,.\\n]{8,60})",
     "(?i)((?:E|F|V|p|m|v|a|g|H|L|T|P|ρ|σ|ω|λ|μ|ε)\\s*=\\s*[^,.\\n]{5,50})",
     "(?i)(\\\\frac\\{[^}]+\\}\\{[^}]+\\}(?:\\s*[=+\\-]\\s*[^.]{0,40})?)")
 
-  private def v3Equations(text: Column): Column =
+  private[graft] def v3Equations(text: Column): Column =
     filter(transform(hitsAll(text, V3EqPatterns), m => equationCleanV3(m)),
       e => (length(e) > 0) && isPhysicsEquationV3(e))
 
   /** Pairwise derivations (:98-110): (starting_point, result) structs from
     * two-group patterns, start > 15 chars and result > 10 chars.
     */
-  private val V3DerivPatterns = Seq(
+  private[derive] val V3DerivPatterns = Seq(
     "(?i)(?:Starting with|From|Given)\\s+([^.]*?)(?:we get|we obtain|this gives)\\s+([^.]*?)(?:\\.|\\n)",
     "(?i)(?:Using|Substituting)\\s+([^.]*?)(?:into|in)\\s+([^.]*?)(?:\\.|\\n)")
 
-  private def v3Derivations(text: Column): Column =
+  private[graft] def v3Derivations(text: Column): Column =
     filter(
       concat(V3DerivPatterns.map { p =>
         zip_with(hits(text, p, 1), hits(text, p, 2), (a, b) =>
@@ -339,21 +344,21 @@ object BenchmarkBuilders {
       d => (length(d.getField("starting_point")) > 15) &&
         (length(d.getField("result")) > 10))
 
-  private val V3NumPatterns = Seq(
+  private[derive] val V3NumPatterns = Seq(
     "(?i)([A-Za-z_]\\w*\\s*=\\s*[0-9]+\\.?[0-9]*(?:\\s*×\\s*10[⁻⁰-⁹]+)?\\s*(?:m|kg|s|Hz|eV|K|Pa|N|J|W|V|A|T|rad)?)",
     "(?i)((?:wavelength|frequency|energy|mass|velocity|temperature|pressure)\\s*(?:of|=|is)\\s*[0-9][^.\\n]*)")
-  private val V3NumContexts = V2NumContexts ++ Seq("rad", "pressure")
+  private[derive] val V3NumContexts = V2NumContexts ++ Seq("rad", "pressure")
 
-  private def v3Numericals(text: Column): Column =
+  private[graft] def v3Numericals(text: Column): Column =
     filter(transform(hitsAll(text, V3NumPatterns), m => trim(m)),
       v => v.rlike("\\d") && containsAny(lower(v), V3NumContexts) &&
         (length(v) > 4))
 
-  private val V3ScenarioPatterns = Seq(
+  private[derive] val V3ScenarioPatterns = Seq(
     "(?i)(?:Consider|Suppose|Let)\\s+([^.]*?(?:particle|system|field|wave|oscillator)[^.]*?)(?:\\.|\\n)",
     "(?i)(?:We study|We consider|In this work)\\s+([^.]*?)(?:\\.|\\n)")
 
-  private def v3Scenarios(text: Column): Column =
+  private[graft] def v3Scenarios(text: Column): Column =
     filter(transform(hitsAll(text, V3ScenarioPatterns), m => trim(m)),
       s => (length(s) > 25) && containsPhysicsContentV3(s))
 
@@ -378,12 +383,15 @@ object BenchmarkBuilders {
                        subjectCol: String): DataFrame = {
     val text = col(textCol)
     val url = col(urlCol)
+    val fusedConcepts = org.apache.spark.sql.GraftColumnBridge.column(
+      V3ConceptsExpr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
     val base = scored
       .filter(suitableForBenchmarkV3(text))
-      .withColumn("__eqs", v3Equations(text))
-      .withColumn("__derivs", v3Derivations(text))
-      .withColumn("__nums", v3Numericals(text))
-      .withColumn("__scens", v3Scenarios(text))
+      .withColumn("__cx", fusedConcepts)
+      .withColumn("__eqs", col("__cx.equations"))
+      .withColumn("__derivs", col("__cx.derivations"))
+      .withColumn("__nums", col("__cx.numericals"))
+      .withColumn("__scens", col("__cx.scenarios"))
       .filter(Gates.hasContent(col("__eqs"), col("__derivs"), col("__nums")))
       .withColumn("__domain", physicsDomainV3(col(subjectCol)))
 

@@ -136,6 +136,35 @@ class BenchmarkBuildersSpec extends SparkTestBase {
     assert(stmt.contains("**Claimed Result**: a refined momentum result"))
   }
 
+  test("fused concept extraction equals the Column battery forms") {
+    import graft.derive.{V2ConceptsExpr, V3ConceptsExpr}
+    def fused2(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(V2ConceptsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+    def fused3(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(V3ConceptsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+    val corpus = graft.fixtures.SynthCorpus.docsRaw(spark, 200, 4).toDF()
+      .withColumn("text", graft.extract.Clean.basicClean(
+        graft.extract.HtmlText.extractCol(col("html"))))
+      .select("text")
+      .union(Seq(richText, "", "E = m c c no concepts? we study nothing.").toDF("text"))
+    val t = col("text")
+    val bad2 = corpus.withColumn("cx", fused2(t)).filter(
+      col("cx.equations") =!= BenchmarkBuilders.v2Equations(t) ||
+      col("cx.derivations") =!= BenchmarkBuilders.v2Derivations(t) ||
+      col("cx.scenarios") =!= BenchmarkBuilders.v2Scenarios(t) ||
+      col("cx.numericals") =!= BenchmarkBuilders.v2Numericals(t) ||
+      col("cx.principles") =!= BenchmarkBuilders.v2Principles(t)).count()
+    assert(bad2 == 0)
+    val bad3 = corpus.withColumn("cx", fused3(t)).filter(
+      col("cx.equations") =!= BenchmarkBuilders.v3Equations(t) ||
+      col("cx.derivations") =!= BenchmarkBuilders.v3Derivations(t) ||
+      col("cx.numericals") =!= BenchmarkBuilders.v3Numericals(t) ||
+      col("cx.scenarios") =!= BenchmarkBuilders.v3Scenarios(t)).count()
+    assert(bad3 == 0)
+  }
+
   test("v3: suitability floor is 600 chars (vs v2's 800)") {
     // ~700 chars with equations: v3 accepts, v2 rejects
     val mid = ("Consider a particle system with mass and wave energy. " +
