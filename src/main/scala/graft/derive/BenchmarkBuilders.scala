@@ -166,12 +166,13 @@ object BenchmarkBuilders {
     val text = col(textCol)
     val url = col(urlCol)
     // concept batteries run fused (V2ConceptsExpr — identical values to the
-    // v2* Column forms, parity-tested in BenchmarkBuildersSpec)
+    // v2* Column forms, parity-tested in BenchmarkBuildersSpec), behind a
+    // ComputeOnce barrier (without it CollapseProject inlined the battery
+    // into 56 copies per row)
     val fusedConcepts = org.apache.spark.sql.GraftColumnBridge.column(
       V2ConceptsExpr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
-    val base = scored
-      .filter(suitableForBenchmarkV2(text))
-      .withColumn("__cx", fusedConcepts)
+    val base = graft.functions.ComputeOnce(
+      scored.filter(suitableForBenchmarkV2(text)), "__cx", fusedConcepts)
       .withColumn("__eqs", col("__cx.equations"))
       .withColumn("__derivs", col("__cx.derivations"))
       .withColumn("__scens", col("__cx.scenarios"))
@@ -385,9 +386,8 @@ object BenchmarkBuilders {
     val url = col(urlCol)
     val fusedConcepts = org.apache.spark.sql.GraftColumnBridge.column(
       V3ConceptsExpr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
-    val base = scored
-      .filter(suitableForBenchmarkV3(text))
-      .withColumn("__cx", fusedConcepts)
+    val base = graft.functions.ComputeOnce(
+      scored.filter(suitableForBenchmarkV3(text)), "__cx", fusedConcepts)
       .withColumn("__eqs", col("__cx.equations"))
       .withColumn("__derivs", col("__cx.derivations"))
       .withColumn("__nums", col("__cx.numericals"))

@@ -61,12 +61,13 @@ object Derive {
       transform(arr, b => struct(lit(typ).as("example_type"), b.as("block")))
 
     // E13 batteries run fused (BlockExtractExpr — identical matches to the
-    // Extract.* Column forms, ~100x less per-row interpreter overhead)
+    // Extract.* Column forms, ~100x less per-row interpreter overhead),
+    // behind a ComputeOnce barrier so the battery runs once per row, not
+    // once per field reference (CollapseProject would inline it 7x)
     val fusedBlocks = org.apache.spark.sql.GraftColumnBridge.column(
       BlockExtractExpr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
-    val withBlocks = df
-      .filter(suitableForTraining(text, col(urlCol)))
-      .withColumn("__bx", fusedBlocks)
+    val withBlocks = graft.functions.ComputeOnce(
+      df.filter(suitableForTraining(text, col(urlCol))), "__bx", fusedBlocks)
       .withColumn("blocks", concat(
         // caps per enhanced_paper_analyser.py:693-706
         blockStruct(slice(col("__bx.derivations"), 1, 5), "derivation"),
@@ -81,15 +82,17 @@ object Derive {
 
     // _create_training_example (enhanced_paper_analyser.py:820-860).
     // Steps run as the fused ReasoningStepsExpr (identical values to
-    // Extract.reasoningStepsAnalyser — DeriveSpec parity test)
-    val cleaned = Clean.trainingClean(col("block"))
+    // Extract.reasoningStepsAnalyser — DeriveSpec parity test). Both the
+    // cleaned text (a 5-regex chain consumed ~8 times downstream) and the
+    // steps array go behind ComputeOnce barriers.
     val fusedSteps = org.apache.spark.sql.GraftColumnBridge.column(
       ReasoningStepsExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(col("cleaned"))))
-    val withSteps = withBlocks
-      .withColumn("cleaned", cleaned)
-      .filter(length(col("cleaned")) >= 50)
-      .withColumn("steps", fusedSteps)
+    val withSteps = graft.functions.ComputeOnce(
+      graft.functions.ComputeOnce(withBlocks, "cleaned",
+        Clean.trainingClean(col("block")))
+        .filter(length(col("cleaned")) >= 50),
+      "steps", fusedSteps)
       .filter(size(col("steps")) >= 2)
 
     val solSteps = Extract.solutionSteps(col("steps"))

@@ -157,6 +157,25 @@ object DotExpr {
   }
 }
 
+/** Materialization barrier for expensive per-row expressions.
+  *
+  * CollapseProject inlines an aliased expression into each downstream
+  * reference, so a struct-valued native expression consumed through N
+  * getField projections is recomputed N TIMES per row (observed: 56
+  * copies of the v2 concept battery, 7 of the block battery in the
+  * round-2 plans). Routing the value through `explode(array(expr))`
+  * makes it a Generate OUTPUT ATTRIBUTE, which the optimizer cannot
+  * inline — the expression runs exactly once per row. GenerateExec
+  * participates in whole-stage codegen, and a 1-element explode never
+  * changes the row count.
+  */
+object ComputeOnce {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.{array, col, explode}
+  def apply(df: DataFrame, name: String, c: Column): DataFrame =
+    df.select(col("*"), explode(array(c)).as(name))
+}
+
 /** Registration of graft-native SQL functions on a session (the
   * SparkSessionExtensions-equivalent entry point — injectable via
   * `.withExtensions(GraftFunctions.injectAll)` on a fresh builder, or
