@@ -95,25 +95,28 @@ object Dedup {
 
     // candidate pairs within buckets; cap pathological buckets (a corpus of
     // boilerplate-identical pages lands in one bucket → O(n²) pairs). The
-    // cap is observable, not silent: `observe("minhash_bucket_cap", ...)`
-    // reports capped-bucket and dropped-id counts via
-    // `result.queryExecution.observedMetrics` after an action on that
-    // dataset — collect/write, not count(), which plans a separate query.
-    val buckets = withSig.groupBy("bucket")
-      .agg(sort_array(collect_list(col("id"))).as("all_ids"))
-      .withColumn("n_ids", size(col("all_ids")))
+    // cap is a rank window, NOT a collect_list+slice: collecting a
+    // mega-bucket's full id list into one row would blow task memory
+    // before the slice could drop it — the window keeps at most maxBucket
+    // rows per bucket (the lowest ids, same keeper set as the sorted
+    // slice) with bounded state, on the same bucket partitioning the
+    // pairing join needs. The cap is observable, not silent:
+    // `observe("minhash_bucket_cap", ...)` reports capped-bucket and
+    // dropped-id counts via `result.queryExecution.observedMetrics` after
+    // an action on that dataset — collect/write, not count(), which plans
+    // a separate query.
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("id")
+    val capped = withSig.select(col("bucket"), col("id"))
+      .withColumn("rnk", row_number().over(wB))
       .observe("minhash_bucket_cap",
-        sum(when(col("n_ids") > maxBucket, 1L).otherwise(0L)).as("capped_buckets"),
-        sum(when(col("n_ids") > maxBucket, (col("n_ids") - maxBucket).cast("long"))
-          .otherwise(0L)).as("dropped_ids"))
-      .withColumn("ids", slice(col("all_ids"), 1, maxBucket))
-      .drop("all_ids", "n_ids")
-      .filter(size(col("ids")) > 1)
-    val pairs = buckets
-      .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a as id_a, b as id_b))))"
-      )).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+        sum(when(col("rnk") === maxBucket + 1, 1L).otherwise(0L)).as("capped_buckets"),
+        sum(when(col("rnk") > maxBucket, 1L).otherwise(0L)).as("dropped_ids"))
+      .filter(col("rnk") <= maxBucket)
+      .drop("rnk")
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
 
     // exact verification join (per-bucket candidates only — never N²)
