@@ -35,6 +35,11 @@ class PipelineParitySpec extends SparkTestBase {
     assert(mismatch == 0)
   }
 
+  test("subtle-issues lists match the oracle element-for-element") {
+    val mismatch = joined.filter(col("issues") =!= col("ref_issues")).count()
+    assert(mismatch == 0)
+  }
+
   test("langid matches the oracle") {
     val mismatch = joined.filter(col("lang") =!= col("ref_lang")).count()
     assert(mismatch == 0)
