@@ -265,13 +265,236 @@ object HtmlText {
   }
 
   /** Fused bytes → cleaned text with the same fallback discipline as
-    * `extract` (scan failure → simple strip + chained clean).
+    * `extract` (scan failure → simple strip + chained clean). This is the
+    * REFERENCE form for the byte-native scanner below (parity-tested).
     */
   def extractClean(bytes: Array[Byte]): String = {
     val html = decodeUtf8Ignore(bytes)
     if (html.isEmpty) return ""
     try extractCleanStr(html)
     catch { case _: Exception => Clean.basicCleanFastStr(extractSimple(html)) }
+  }
+
+  // ====================================================================
+  // BYTE-NATIVE fused extract+clean: raw UTF-8 bytes → cleaned UTF8String
+  // with ZERO intermediate String/char materialization (the full round-1
+  // stretch item). The cleaned output is ASCII-only by construction (C1
+  // strips non-ASCII), so the scanner decodes multi-byte sequences just
+  // far enough to classify the code point (Unicode-whitespace → space,
+  // else dropped) and writes ASCII bytes straight into one output buffer.
+  //
+  // Parity with `extractClean` (the decode-then-scan reference) holds for
+  // ALL inputs: valid multi-byte sequences classify identically by code
+  // point (a non-BMP char resets the whitespace-run state once vs twice
+  // via its surrogate pair — same output either way), and MALFORMED
+  // sequences are skipped with the run-state untouched, which is exactly
+  // what CharsetDecoder-IGNORE's pre-scan deletion does. Tag names stop
+  // at non-BMP code points (mirroring `Character.isLetterOrDigit` on a
+  // surrogate char = false) and poison the name on non-ASCII letters so
+  // set lookups fail in both paths. Property-tested against the reference
+  // on the corpus, an html generator with Unicode whitespace, and crafted
+  // malformed byte arrays.
+  // ====================================================================
+
+  def extractCleanBytes(bytes: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    if (bytes == null || bytes.length == 0) return UTF8String.EMPTY_UTF8
+    try scanBytes(bytes)
+    catch {
+      case _: Exception =>
+        UTF8String.fromString(extractClean(bytes))
+    }
+  }
+
+  /** Decoded code point at i (lead byte >= 0x80), or -1 if the sequence is
+    * malformed. `lenOut(0)` receives the consumed byte count (1 on
+    * malformed — skipping malformed bytes one at a time is output-
+    * equivalent to the decoder's maximal-subpart deletion because skips
+    * leave the scanner state untouched).
+    */
+  private def decodeAt(b: Array[Byte], i: Int, lenOut: Array[Int]): Int = {
+    val n = b.length
+    val b0 = b(i) & 0xFF
+    lenOut(0) = 1
+    @inline def cont(k: Int): Boolean = k < n && (b(k) & 0xC0) == 0x80
+    if (b0 < 0xC2 || b0 > 0xF4) return -1 // 0x80-0xC1 (cont/overlong), 0xF5+
+    if (b0 <= 0xDF) { // 2-byte
+      if (!cont(i + 1)) return -1
+      lenOut(0) = 2
+      ((b0 & 0x1F) << 6) | (b(i + 1) & 0x3F)
+    } else if (b0 <= 0xEF) { // 3-byte with E0/ED second-byte limits
+      if (!cont(i + 1) || !cont(i + 2)) return -1
+      val b1 = b(i + 1) & 0xFF
+      if (b0 == 0xE0 && b1 < 0xA0) return -1 // overlong
+      if (b0 == 0xED && b1 > 0x9F) return -1 // surrogate range
+      lenOut(0) = 3
+      ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b(i + 2) & 0x3F)
+    } else { // 4-byte with F0/F4 second-byte limits
+      if (!cont(i + 1) || !cont(i + 2) || !cont(i + 3)) return -1
+      val b1 = b(i + 1) & 0xFF
+      if (b0 == 0xF0 && b1 < 0x90) return -1 // overlong
+      if (b0 == 0xF4 && b1 > 0x8F) return -1 // > U+10FFFF
+      lenOut(0) = 4
+      ((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12) | ((b(i + 2) & 0x3F) << 6) |
+        (b(i + 3) & 0x3F)
+    }
+  }
+
+  @inline private def isWsCp(cp: Int): Boolean =
+    cp <= 0xFFFF && graft.rules.TokenStats.isUnicodeWs(cp.toChar)
+
+  private def indexOfByte(b: Array[Byte], from: Int, target: Byte): Int = {
+    var k = math.max(from, 0)
+    while (k < b.length) { if (b(k) == target) return k; k += 1 }
+    -1
+  }
+
+  @inline private def lowerB(x: Int): Int =
+    if (x >= 'A' && x <= 'Z') x + 32 else x
+
+  private def scanBytes(html: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val n = html.length
+    val out = new Array[Byte](n)
+    var o = 0
+    var prevWs = false
+    val lenOut = new Array[Int](1)
+    @inline def emitAscii(c: Int): Unit = {
+      if (graft.rules.TokenStats.isUnicodeWs(c.toChar)) {
+        if (!prevWs) { out(o) = ' '; o += 1 }
+        prevWs = true
+      } else { prevWs = false; out(o) = c.toByte; o += 1 }
+    }
+    @inline def emitWs(): Unit = {
+      if (!prevWs) { out(o) = ' '; o += 1 }; prevWs = true
+    }
+    @inline def emitChar(c: Char): Unit =
+      if (c <= 0x7F) emitAscii(c)
+      else if (isWsCp(c)) emitWs()
+      else prevWs = false
+    var i = 0
+    while (i < n) {
+      val b0 = html(i) & 0xFF
+      if (b0 == '<') {
+        if (i + 3 < n && html(i + 1) == '!' && html(i + 2) == '-' && html(i + 3) == '-') {
+          // comment: skip to "-->"
+          var k = i + 4
+          var end = -1
+          while (end < 0 && k + 2 < n) {
+            if (html(k) == '-' && html(k + 1) == '-' && html(k + 2) == '>') end = k
+            else k += 1
+          }
+          i = if (end < 0) n else end + 3
+        } else {
+          var j = i + 1
+          val closing = j < n && html(j) == '/'
+          if (closing) j += 1
+          // tag name: ASCII letters/digits lowercased; non-ASCII
+          // letters/digits poison the name (no set can match) exactly
+          // like the char scanner's toLowerCase'd non-ASCII name; name
+          // parsing stops where Character.isLetterOrDigit stops
+          val name = new java.lang.StringBuilder(8)
+          var stop = false
+          while (!stop && j < n) {
+            val c = html(j) & 0xFF
+            if (c < 0x80) {
+              if (Character.isLetterOrDigit(c.toChar)) {
+                name.append(lowerB(c).toChar); j += 1
+              } else stop = true
+            } else {
+              val cp = decodeAt(html, j, lenOut)
+              if (cp >= 0 && cp <= 0xFFFF && Character.isLetterOrDigit(cp.toChar)) {
+                name.append('\uFFFF'); j += lenOut(0) // poison: never matches
+              } else stop = true
+            }
+          }
+          val nm = name.toString
+          if (!closing && SkipTagSet.contains(nm)) {
+            // skip to the matching close tag (case-insensitive), then '>'
+            val close = ("</" + nm).getBytes(StandardCharsets.US_ASCII)
+            var k = i + 1
+            var found = -1
+            while (found < 0 && k >= 0 && k < n) {
+              k = indexOfByte(html, k, '<'.toByte)
+              if (k < 0) found = -2
+              else {
+                var m = 0
+                var ok = k + close.length <= n
+                while (ok && m < close.length) {
+                  if (lowerB(html(k + m) & 0xFF) != lowerB(close(m) & 0xFF)) ok = false
+                  m += 1
+                }
+                if (ok) found = k else k += 1
+              }
+            }
+            if (found >= 0) {
+              val gt = indexOfByte(html, found, '>'.toByte)
+              i = if (gt < 0) n else gt + 1
+            } else i = n
+          } else {
+            if (BlockTagSet.contains(nm)) emitWs() // was "\n\n"
+            val gt = indexOfByte(html, i, '>'.toByte)
+            i = if (gt < 0) n else gt + 1
+          }
+        }
+      } else if (b0 == '&') {
+        // entity name with DELETION semantics: malformed bytes inside the
+        // name are dropped exactly like decoder-IGNORE's pre-scan deletion
+        // (they can merge "am\x90p" into "amp"); valid non-ASCII chars
+        // poison the name so lookups fail in both paths; the 12-char
+        // window counts post-deletion CHARS (4-byte chars count 2, their
+        // surrogate pair width in the reference string)
+        var semi = -1
+        var k = i + 1
+        var over = false
+        val nameSb = new java.lang.StringBuilder(12)
+        while (semi < 0 && !over && k < n) {
+          val c = html(k) & 0xFF
+          if (c == ';') semi = k
+          else if (c < 0x80) { nameSb.append(c.toChar); k += 1 }
+          else {
+            val cp = decodeAt(html, k, lenOut)
+            if (cp >= 0) {
+              nameSb.append(if (cp > 0xFFFF) "\uFFFF\uFFFF" else "\uFFFF")
+              k += lenOut(0)
+            } else k += 1 // malformed: deleted
+          }
+          if (nameSb.length > 11) over = true // '&'+name+';' would exceed 12
+        }
+        if (semi > i && !over) {
+          val name = nameSb.toString
+          val rep: String =
+            if (name.startsWith("#x") || name.startsWith("#X"))
+              try String.valueOf(Integer.parseInt(name.substring(2), 16).toChar)
+              catch { case _: Exception => null }
+            else if (name.startsWith("#"))
+              try String.valueOf(Integer.parseInt(name.substring(1)).toChar)
+              catch { case _: Exception => null }
+            else EntityMap.getOrElse(name, null)
+          if (rep != null) {
+            var r = 0
+            while (r < rep.length) { emitChar(rep.charAt(r)); r += 1 }
+            i = semi + 1
+          } else { emitAscii('&'); i += 1 }
+        } else { emitAscii('&'); i += 1 }
+      } else if (b0 < 0x80) {
+        emitAscii(b0)
+        i += 1
+      } else {
+        val cp = decodeAt(html, i, lenOut)
+        if (cp >= 0) {
+          if (isWsCp(cp)) emitWs()
+          else prevWs = false // valid non-ASCII char: dropped, breaks ws run
+        } // malformed: skipped, state untouched (decoder-IGNORE deletion)
+        i += lenOut(0)
+      }
+    }
+    // trim <= 0x20 at both ends (Java String.trim semantics)
+    var a = 0
+    var b = o
+    while (a < b && (out(a) & 0xFF) <= 0x20) a += 1
+    while (b > a && (out(b - 1) & 0xFF) <= 0x20) b -= 1
+    UTF8String.fromBytes(out, a, b - a)
   }
 
   /** Column form. A deterministic Scala UDF — the extraction is genuinely

@@ -58,19 +58,19 @@ case class BasicCleanExpr(child: Expression) extends UnaryExpression {
 }
 
 /** E1 + C1 fused: raw html bytes → extracted, basic-cleaned text in ONE
-  * scan (HtmlText.extractClean) — no intermediate extraction string, no
-  * separate clean pass. Replaces the UDF + graft_basic_clean pair on the
-  * pipeline hot path; equality vs the chained forms is property-tested.
+  * BYTE-LEVEL scan (HtmlText.extractCleanBytes) — no UTF-8 decode to
+  * String, no intermediate extraction string, no separate clean pass;
+  * the only allocation is the final output buffer. Replaces the UDF +
+  * graft_basic_clean pair on the pipeline hot path; equality vs the
+  * decode-then-scan and fully-chained forms is property-tested.
   */
 case class ExtractCleanExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(
-      graft.extract.HtmlText.extractClean(input.asInstanceOf[Array[Byte]]))
+    graft.extract.HtmlText.extractCleanBytes(input.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.extract.HtmlText.extractClean($c))")
+      s"graft.extract.HtmlText.extractCleanBytes($c)")
   override protected def withNewChildInternal(newChild: Expression): ExtractCleanExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_extract_clean"

@@ -79,6 +79,22 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("byte-native extract+clean equals decode-then-scan on RANDOM BYTES (property)") {
+    // fully adversarial: arbitrary byte arrays, including malformed UTF-8,
+    // split multi-byte sequences, stray tag/entity/comment syntax
+    val bytesGen: Gen[Array[Byte]] = Gen.listOf(Gen.frequency(
+      6 -> Gen.choose(0x20, 0x7E),
+      1 -> Gen.oneOf('<'.toInt, '>'.toInt, '&'.toInt, ';'.toInt, '/'.toInt,
+        '!'.toInt, '-'.toInt, '\n'.toInt, '\t'.toInt),
+      2 -> Gen.choose(0x80, 0xFF),
+      1 -> Gen.oneOf(0xC2, 0xA0, 0xE2, 0x80, 0x87, 0xF0, 0x9F, 0x98, 0x80)
+    )).map(_.map(_.toByte).toArray)
+    check(Prop.forAll(bytesGen) { b =>
+      graft.extract.HtmlText.extractCleanBytes(b).toString ==
+        graft.extract.HtmlText.extractClean(b)
+    })
+  }
+
   test("scrub is idempotent and never reveals an email (property)") {
     val emailGen = for {
       u <- Gen.alphaLowerStr.suchThat(_.nonEmpty)

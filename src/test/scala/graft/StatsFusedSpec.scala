@@ -91,6 +91,43 @@ class StatsFusedSpec extends SparkTestBase {
     }
   }
 
+  test("byte-native extract+clean equals the decode-then-scan reference") {
+    import graft.extract.HtmlText
+    // corpus bytes
+    val raws = graft.fixtures.SynthCorpus.docsRaw(spark, 200, 4)
+      .collect().map(_.html)
+    for (b <- raws)
+      assert(HtmlText.extractCleanBytes(b).toString == HtmlText.extractClean(b))
+    // valid-UTF-8 edges incl. NON-ASCII UNICODE WHITESPACE (must become a
+    // space, not be dropped) and 4-byte (non-BMP) sequences
+    val strEdges = Seq(
+      "a b", "x  y", "a b", "par sep",
+      "emoji 😀 here", "tag<p> </p>x",
+      "&nbsp; &eacute;", "mixed 　 ideographic",
+      "<scrípt>not a skip tag</scrípt>ok",
+      "<pé>accented tag name</pé>t")
+    for (t <- strEdges) {
+      val b = t.getBytes("UTF-8")
+      assert(HtmlText.extractCleanBytes(b).toString == HtmlText.extractClean(b), s"<$t>")
+    }
+    // MALFORMED byte sequences: stray continuation, overlong, surrogate
+    // range, truncated lead, out-of-range lead — decoder-IGNORE deletes
+    // them; the byte scanner must skip them with identical output
+    val byteEdges: Seq[Array[Byte]] = Seq(
+      Array('a', 0x80.toByte, 'b'),
+      Array('a', ' ', 0xFF.toByte, ' ', 'b'),
+      Array(0xC0.toByte, 0xAF.toByte, 'x'), // overlong '/'
+      Array(0xED.toByte, 0xA0.toByte, 0x80.toByte, 'y'), // surrogate
+      Array('t', 0xE2.toByte), // truncated 3-byte at end
+      Array('<', 'p', '>', 0xF5.toByte, 'q'),
+      Array('&', 'a', 'm', 0x90.toByte, 'p', ';', 'z'),
+      Array(' ', 0xC2.toByte, 0xA0.toByte, ' ', 'w') // valid NBSP between spaces
+    ).map(_.map(_.toByte))
+    for (b <- byteEdges)
+      assert(HtmlText.extractCleanBytes(b).toString == HtmlText.extractClean(b),
+        b.map(x => f"${x & 0xFF}%02x").mkString(" "))
+  }
+
   test("fused pattern counts equal the regexp_extract_all battery") {
     val cases = Seq("$x=1$ and $$y$$ \\frac{a}{b} 3.14 [1] (2023) E = mc2 more",
       "", "no patterns here", "\\int f dx \\sum x [12] et al. Ref. 3")
