@@ -299,11 +299,42 @@ object HtmlText {
   def extractCleanBytes(bytes: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
     import org.apache.spark.unsafe.types.UTF8String
     if (bytes == null || bytes.length == 0) return UTF8String.EMPTY_UTF8
+    if (!fastPathSafe(bytes)) return UTF8String.fromString(extractClean(bytes))
     try scanBytes(bytes)
     catch {
       case _: Exception =>
         UTF8String.fromString(extractClean(bytes))
     }
+  }
+
+  /** Fast-path admission check (one cheap pass, no allocation). The byte
+    * scanner is exactly equal to decode-then-scan ONLY when no decoder
+    * deletion can occur and no Java Unicode quirk can fire, so fall back
+    * to the reference path when the input contains:
+    *   - any MALFORMED UTF-8 (decoder-IGNORE deletion can merge structural
+    *     tokens across deleted bytes: "<\xFFp>" decodes to "<p>", a block
+    *     tag; "-\xFF->" becomes a comment terminator),
+    *   - the case-fold pathologies U+0131/U+017F/U+212A (regionMatches
+    *     ignoreCase folds them onto ASCII i/s/k in close-tag search),
+    *   - any non-ASCII Unicode DIGIT (Integer.parseInt accepts them, so
+    *     "&#٥;" is a real numeric entity to the reference).
+    * Real crawl text virtually never trips these; the corpus never does.
+    */
+  private def fastPathSafe(b: Array[Byte]): Boolean = {
+    val n = b.length
+    val len = new Array[Int](1)
+    var i = 0
+    while (i < n) {
+      if ((b(i) & 0xFF) < 0x80) i += 1
+      else {
+        val cp = decodeAt(b, i, len)
+        if (cp < 0) return false
+        if (cp == 0x131 || cp == 0x17F || cp == 0x212A) return false
+        if (Character.isDigit(cp)) return false
+        i += len(0)
+      }
+    }
+    true
   }
 
   /** Decoded code point at i (lead byte >= 0x80), or -1 if the sequence is

@@ -206,14 +206,28 @@ object GraftFunctions {
   }
 
   /** SparkSessionExtensions injection point (for spark-submit via
-    * spark.sql.extensions=graft.functions.GraftExtensions).
+    * spark.sql.extensions=graft.functions.GraftExtensions) — registers
+    * the complete native-expression surface, mirroring `register`.
     */
   def injectAll(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("pii_scrub"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[PiiScrubExpr].getName, "pii_scrub"),
-      (exprs: Seq[Expression]) => PiiScrubExpr(exprs.head)))
+    def inject(name: String, clazz: Class[_],
+               builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          clazz.getName, name),
+        builder))
+    inject("pii_scrub", classOf[PiiScrubExpr], e => PiiScrubExpr(e.head))
+    inject("graft_token_stats", classOf[graft.rules.TokenStatsExpr],
+      e => graft.rules.TokenStatsExpr(e.head))
+    inject("graft_pattern_counts", classOf[graft.rules.PatternCountsExpr],
+      e => graft.rules.PatternCountsExpr(e.head))
+    inject("graft_basic_clean", classOf[BasicCleanExpr], e => BasicCleanExpr(e.head))
+    inject("graft_perplexity", classOf[PerplexityExpr], e => PerplexityExpr(e.head))
+    inject("graft_simhash", classOf[graft.dedup.SimHashExpr],
+      e => graft.dedup.SimHashExpr(e.head))
+    inject("graft_extract_clean", classOf[ExtractCleanExpr],
+      e => ExtractCleanExpr(e.head))
   }
 }
 
