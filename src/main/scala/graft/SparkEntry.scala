@@ -312,6 +312,22 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // ---- q30's aggregate oracle: the full training-example derive chain
+    // (gate → E13 block batteries → C6 clean → E15 step battery → E17/E20
+    // classifiers) reduced to a distribution DuckDB can recompute
+    // end-to-end over the same materialized corpus. q30 itself stays
+    // rows-only (prompt/completion assembly isn't SQL-expressible); this
+    // pins the gate, batteries, filters, and classifiers. ----
+    "q39_training_dist" -> ((s, dir) => {
+      val corpus = s.read.parquet(graft.fixtures.SynthCorpus.materializedCorpus(s))
+        .withColumn("subject", lit("Physics"))
+      graft.derive.Derive.trainingExamples(corpus, "url", "text", "subject")
+        .groupBy("example_type", "difficulty", "reasoning_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("step_count").cast("long")).as("sum_steps"))
+        .orderBy("example_type", "difficulty", "reasoning_type")
+    }),
+
     // ---- salted aggregation (A8): provably identical to the plain agg ----
     "q32_salted_stats" -> ((s, dir) => {
       graft.agg.DomainStats.saltedStats(docs(s, dir), "source", "text", "n_chars")
@@ -627,6 +643,133 @@ object SparkEntry {
            |  CAST(${batterySql(Extract.WorkedSolutionPatterns, 80, 1800, 5)} AS INT) AS n_solutions,
            |  CAST(${batterySql(Extract.ProofPatterns, 100, 1200, 2)} AS INT) AS n_proofs
            |FROM read_parquet('$corpusGlob') ORDER BY url""".stripMargin
+      },
+
+      // q39 oracle: the ENTIRE training-example derive chain in SQL —
+      // suitability gate, E13 block batteries (windows + term filters +
+      // caps), C6 training clean, E15 analyser step battery (primary
+      // patterns + sentence fallback + meaningful-step predicate), E17
+      // difficulty, E20 reasoning type, and the problem/solution boundary
+      // that defines step_count. Patterns/terms/thresholds are the shared
+      // Scala constants; corpus is ASCII post-clean so RE2 '\s' ≡ the
+      // Spark side's (?U)\s.
+      "q39_training_dist" -> {
+        import graft.derive.{Derive, Extract}
+        val corpusGlob = new java.io.File(
+          "target/graft_fixture/corpus_400").getAbsolutePath + "/*.parquet"
+        // RE2 pattern → SQL literal (same trap as q31/q38: real newlines in
+        // patterns must become RE2 \n or stripMargin corrupts alternations)
+        def pat(p: String) =
+          "'" + p.replace("'", "''").replace("\n", "\\n") + "'"
+        def cnt(terms: Seq[String], over: String) = terms
+          .map(w => s"(CASE WHEN contains($over, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        def anyOf(terms: Seq[String], over: String) = terms
+          .map(w => s"contains($over, '$w')").mkString("(", " OR ", ")")
+
+        // -- gate (same as q38) --
+        val sample = "substr(lower(text), 1, 2000)"
+        val en14 = cnt(graft.lang.LangId.EnglishStopwords14, sample)
+        val stepPhys = cnt(Derive.TrainingStepIndicators ++
+          Derive.TrainingPhysIndicators, sample)
+
+        // -- E13 batteries as LISTS (q38 oracles the counts; here we need
+        // the block strings themselves) --
+        val phys = cnt(Extract.EnglishPhysicsTerms, "lower(m)")
+        val vix = cnt(Extract.VixraPhysicsTerms, "lower(m)")
+        val en = cnt(Extract.CommonEnglish, "lower(m)")
+        def batteryList(patterns: Seq[String], lo: Int, hi: Int): String =
+          patterns.map(p =>
+            s"list_filter(regexp_extract_all(text, ${pat(p)}), " +
+              s"m -> length(m) > $lo AND length(m) < $hi AND " +
+              s"((($phys) >= 1 OR ($vix) >= 2) AND ($en) >= 2))")
+            .mkString("(", " || ", ")")
+        val derList = batteryList(Extract.CompleteDerivationPatterns, 100, 2500)
+        val solList = batteryList(Extract.WorkedSolutionPatterns, 80, 1800)
+        val prfList = batteryList(Extract.ProofPatterns, 100, 1200)
+
+        // -- C6 trainingClean (the $..$ rewrite is an identity — skipped) --
+        val cleanSql =
+          """trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            |block, '\s+', ' ', 'g'), '\[\d+\]', '', 'g'),
+            |'Page \d+ of \d+', '', 'g'), 'Figure \d+', '', 'g'))"""
+            .stripMargin.replace("\n", " ")
+
+        // -- E15 analyser step battery over `cleaned` --
+        val meaningful =
+          s"((${anyOf(Extract.AnalyserMeaningful, "lower(s)")} OR " +
+            s"${anyOf(Extract.AnalyserVixra, "lower(s)")}) AND " +
+            s"NOT ${anyOf(Extract.AnalyserAvoid, "lower(s)")} AND " +
+            s"${anyOf(Extract.AnalyserCommon, "lower(s)")})"
+        val primarySql = Extract.AnalyserStepPatterns.map(p =>
+          s"list_filter(list_transform(regexp_extract_all(cleaned, ${pat(p)}), " +
+            s"x -> trim(x)), s -> length(s) > 8 AND length(s) < 250 AND $meaningful)")
+          .mkString("(", " || ", ")")
+        val sentencesSql =
+          s"list_filter(list_transform(regexp_split_to_array(cleaned, '[.!?]+'), " +
+            s"x -> trim(x)), s -> length(s) > 15 AND length(s) < 180 AND $meaningful)"
+
+        // -- E17 difficulty / E20 reasoning type over `cleaned` --
+        val lo = "lower(cleaned)"
+        val difficultySql =
+          s"""CASE WHEN (${cnt(Extract.AdvancedIndicators, lo)}) > 0 THEN 'advanced'
+             |WHEN (${cnt(Extract.IntermediateIndicators, lo)}) > 1 THEN 'intermediate'
+             |ELSE 'introductory' END""".stripMargin.replace("\n", " ")
+        val reasoningTypeSql =
+          s"""CASE WHEN ${anyOf(Seq("derive", "derivation", "proof", "show that"), lo)}
+             |THEN 'mathematical_derivation'
+             |WHEN ${anyOf(Seq("conservation", "law", "principle", "theorem"), lo)}
+             |THEN 'law_application'
+             |WHEN ${anyOf(Seq("calculate", "find", "determine", "solve"), lo)}
+             |THEN 'problem_solving'
+             |WHEN ${anyOf(Seq("given", "known", "condition"), lo)}
+             |THEN 'knowledge_recall'
+             |ELSE 'reasoning_chain' END""".stripMargin.replace("\n", " ")
+
+        // -- problem/solution boundary → step_count --
+        val solFlagsSql =
+          s"list_transform(steps, s -> ${anyOf(Extract.SolutionIndicators, "lower(s)")})"
+
+        s"""WITH suit AS (
+           |  SELECT url, text FROM read_parquet('$corpusGlob')
+           |  WHERE length(trim(text)) >= 500
+           |    AND ($en14) >= (CASE WHEN contains(lower(url), 'vixra') THEN 5 ELSE 8 END)
+           |    AND ($stepPhys) >= (CASE WHEN contains(lower(url), 'vixra') THEN 2 ELSE 3 END)),
+           |blk AS (
+           |  SELECT example_type, unnest(blks) AS block FROM (
+           |    SELECT 'derivation' AS example_type, list_slice($derList, 1, 5) AS blks FROM suit
+           |    UNION ALL
+           |    SELECT 'solution' AS example_type, list_slice($solList, 1, 5) AS blks FROM suit
+           |    UNION ALL
+           |    SELECT 'proof' AS example_type, list_slice($prfList, 1, 2) AS blks FROM suit)),
+           |cf AS (
+           |  SELECT example_type, cleaned FROM
+           |    (SELECT example_type, $cleanSql AS cleaned FROM blk)
+           |  WHERE length(cleaned) >= 50),
+           |st AS (
+           |  SELECT example_type, cleaned, prim,
+           |    list_slice(CASE WHEN len(prim) < 2 THEN prim || $sentencesSql
+           |               ELSE prim END, 1, 10) AS steps
+           |  FROM (SELECT example_type, cleaned, $primarySql AS prim FROM cf)),
+           |sf AS (SELECT example_type, cleaned, steps FROM st WHERE len(steps) >= 2),
+           |sc AS (
+           |  SELECT example_type, cleaned, steps,
+           |    least(2, (CASE WHEN list_position($solFlagsSql, true) IS NULL
+           |                     OR list_position($solFlagsSql, true) = 0
+           |                   THEN 9223372036854775807
+           |                   ELSE list_position($solFlagsSql, true) END) - 1) AS boundary
+           |  FROM sf),
+           |fin AS (
+           |  SELECT example_type,
+           |    $difficultySql AS difficulty,
+           |    $reasoningTypeSql AS reasoning_type,
+           |    (CASE WHEN len(list_slice(steps, boundary + 1, len(steps))) = 0
+           |          THEN len(steps)
+           |          ELSE len(list_slice(steps, boundary + 1, len(steps))) END) AS step_count
+           |  FROM sc)
+           |SELECT example_type, difficulty, reasoning_type,
+           |  count(*) AS n, CAST(sum(step_count) AS BIGINT) AS sum_steps
+           |FROM fin GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
       },
 
       // the salted two-phase aggregate must equal the plain GROUP BY —

@@ -124,6 +124,13 @@ object SynthCorpus {
           "Using the force equation and the field terms we obtain the velocity of the particle. ")
         else if (p < 0.09) sb.append(
           "Problem: calculate the energy of the particle. Solution: We have E = m c^2. Therefore the energy is E = 42 J. ")
+        // difficulty-classifier plants (E17): advanced (>=1 advanced term)
+        // and intermediate (>=2 distinct indicators) blocks exist in the
+        // corpus so the q39 distribution oracle exercises all branches
+        else if (p < 0.095) sb.append(
+          "the lagrangian and the hamiltonian tensor formulation of the field ")
+        else if (p < 0.10) sb.append(
+          "quantum mechanics and statistical mechanics govern the wave equation under thermodynamics ")
       }
     }
     sb.toString.take(targetLen + 200) // bounded; boundary lens stay exact-ish
