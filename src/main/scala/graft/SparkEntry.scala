@@ -223,6 +223,20 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // ---- IVF ANN (k-means coarse quantizer + cell-probed search). Full
+    // probe (nProbe = nList) is chosen HERE because it makes the routing
+    // machinery exactly oracle-checkable: every corpus vector lands in one
+    // cell and every cell is probed, so the result must equal exact
+    // search — any mis-assignment, dropped cell, or duplicate candidate
+    // breaks the DuckDB equality. The approximate regime (nProbe < nList,
+    // recall vs brute force) is IvfSpec-tested. ----
+    "q40_ann_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.similarity.Ivf.ivfTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nList = 8, nProbe = 8, iters = 3)
+        .orderBy("query_id", "rk")
+    }),
+
     "q25_cos_neardup" -> ((s, dir) => {
       graft.similarity.Ann.cosineNearDupPairs(
         tbl(s, dir, "embeddings"), "vec_id", "embedding",
@@ -517,6 +531,23 @@ object SparkEntry {
            |  FROM scored)
            |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 3
            |ORDER BY query_id, rk""".stripMargin,
+
+      // q40 oracle: full-probe IVF ≡ exact search (see the query comment) —
+      // DuckDB computes brute-force cosine top-3 for the same queries
+      "q40_ann_ivf" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_dot_product(q.v, c.v) /
+          |      sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)), 6) AS cos
+          |  FROM q JOIN e c ON q.vec_id <> c.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 3
+          |ORDER BY query_id, rk""".stripMargin,
 
       "q25_cos_neardup" ->
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,130 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN — the second scale path from the builder prompt
+  * ("an IVF or LSH-bucketed variant"), complementing `Ann.lshTopK`:
+  * LSH buckets are data-independent (hyperplane signs), IVF buckets follow
+  * the data (k-means cells), which wins on clustered real-world embedding
+  * corpora where random hyperplanes split natural clusters.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   - The coarse quantizer trains on a DETERMINISTIC hash-sampled subset
+  *     (`sampleMod`) — Lloyd iterations never scan more than the sample,
+  *     and each iteration is a distributed agg; only the k×dim centroid
+  *     table ever reaches the driver (same contract as Spark ML KMeans).
+  *   - Corpus assignment is one broadcast-centroid argmin scan (nList
+  *     native dot products per row, whole-stage codegen'd, no shuffle).
+  *   - Search is an equi-join on cell id: queries probe their `nProbe`
+  *     nearest cells, so the candidate set is ~nProbe/nList of the corpus
+  *     per query — never N². Ranking reuses TopKPairsAgg (map-side partial
+  *     top-k), so the exchange carries O(|Q| × k × partitions) rows.
+  *
+  * Determinism: init picks the k sample vectors with the smallest
+  * (xxhash64(id), id); centroid components are rounded to 9 decimals after
+  * each Lloyd step so FP summation-order noise cannot flip a near-tie
+  * assignment between runs. With nProbe = nList the probe set is every
+  * cell, and the output provably equals `Ann.bruteForceTopK` (IvfSpec
+  * asserts exact equality).
+  */
+object Ivf {
+
+  /** -2·v·c + |c|² — the per-cell part of squared L2 distance (the |v|²
+    * term is constant per row and cannot change the argmin).
+    */
+  private def partialDist2(vec: Column, centroid: Array[Double]): Column = {
+    val c2 = centroid.map(x => x * x).sum
+    Ann.dot(vec, lit(centroid)) * -2.0 + lit(c2)
+  }
+
+  /** (dist, cellId) structs for every centroid — struct ordering makes
+    * array_min/array_sort the argmin/arg-top-n (ties break to the lower
+    * cell id, deterministically).
+    */
+  private def cellDists(vec: Column, centroids: Array[Array[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(partialDist2(vec, c).as("d"), lit(i).as("cid"))
+    }: _*)
+
+  /** Nearest-cell id for a vector (broadcast-centroid argmin, pure
+    * expressions).
+    */
+  def assignCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_min(cellDists(vec, centroids)).getField("cid")
+
+  /** The `nProbe` nearest cell ids for a query vector. */
+  def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    transform(slice(array_sort(cellDists(vec, centroids)), 1, nProbe),
+      s => s.getField("cid"))
+
+  /** Deterministic Lloyd k-means over a hash-sampled subset of `df`.
+    * Returns the k×dim centroid array (k small — this is the coarse
+    * quantizer, not a model). Empty cells keep their previous centroid.
+    *
+    * sampleMod = N trains on the ~1/N of rows with xxhash64(id) % N == 0 —
+    * deterministic, no RNG state, and the full corpus is never iterated.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5,
+                      sampleMod: Int = 1): Array[Array[Double]] = {
+    val v = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(pmod(xxhash64(col("id")), lit(sampleMod.toLong)) === 0L)
+    // init: the k sample vectors with the smallest (hash, id) — a
+    // TakeOrderedAndProject (top-k), not a full sort
+    var centroids: Array[Array[Double]] = v
+      .orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.length == k,
+      s"k-means needs >= $k sample vectors, got ${centroids.length}")
+    for (_ <- 0 until iters) {
+      // distributed: assign (codegen argmin) → per-(cell, dim) mean; only
+      // k×dim aggregated rows are collected
+      val means = v.withColumn("c", assignCell(col("v"), centroids))
+        .select(col("c"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("c", "pos").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          val dim = rows.map(r =>
+            r.getInt(1) -> r.getDouble(2)).toMap
+          c -> Array.tabulate(dim.size)(dim)
+        }
+      centroids = Array.tabulate(k)(c =>
+        means.get(c).map(_.map(x =>
+          math.rint(x * 1e9) / 1e9)).getOrElse(centroids(c)))
+    }
+    centroids
+  }
+
+  /** IVF top-k: train the quantizer, bucket the corpus by nearest cell,
+    * probe `nProbe` cells per query, exact cosine re-rank via the partial
+    * top-k aggregate. Output schema/ordering identical to
+    * `Ann.bruteForceTopK` (query_id, neighbor_id, cos, rk).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nList: Int = 16, nProbe: Int = 4,
+              iters: Int = 5, sampleMod: Int = 1): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nList, iters, sampleMod)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", assignCell(col("cv"), centroids))
+      .withColumn("cn", sqrt(Ann.dot(col("cv"), col("cv"))))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"), centroids, nProbe)))
+      .withColumn("qn", sqrt(Ann.dot(col("qv"), col("qv"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(Ann.dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+    val agg = org.apache.spark.sql.GraftColumnBridge.column(
+      TopKPairsAgg(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("cos")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("neighbor_id").cast("long")),
+        k).toAggregateExpression())
+    scored.groupBy("query_id").agg(agg.as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
+        col("p.cos").as("cos"), (col("pos") + 1).cast("int").as("rk"))
+  }
+}
