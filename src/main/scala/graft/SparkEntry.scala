@@ -305,6 +305,29 @@ object SparkEntry {
         .orderBy("problem_id")
     }),
 
+    // ---- v2/v3 builder distribution oracles (q36/q37 stay rows-only with
+    // the full problem text; these pin the gates, concept batteries, and
+    // per-problem type/difficulty logic against DuckDB, reading the SAME
+    // scored parquet — `issues` is an input column there, so the model-
+    // dependent part is data, not recomputation) ----
+    "q41_benchmark_v2_dist" -> ((s, dir) => {
+      val scored = s.read.parquet(graft.fixtures.SynthCorpus.materializedScored(s))
+        .withColumn("subject", SparkEntry.fixtureSubject(col("url")))
+      graft.derive.BenchmarkBuilders.benchmarkItemsV2(scored, "url", "text", "subject")
+        .groupBy("type", "difficulty", "difficulty_level")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("type", "difficulty", "difficulty_level")
+    }),
+
+    "q42_benchmark_v3_dist" -> ((s, dir) => {
+      val scored = s.read.parquet(graft.fixtures.SynthCorpus.materializedScored(s))
+        .withColumn("subject", SparkEntry.fixtureSubject(col("url")))
+      graft.derive.BenchmarkBuilders.benchmarkItemsV3(scored, "url", "text", "subject")
+        .groupBy("type", "difficulty")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("type", "difficulty")
+    }),
+
     // ---- training gate + E13 block-battery counts: the oracle-checkable
     // layer of the q30 derive path (DuckDB recomputes the suitability gate
     // and all 14 battery patterns with their length windows and term
@@ -674,6 +697,152 @@ object SparkEntry {
            |  CAST(${batterySql(Extract.WorkedSolutionPatterns, 80, 1800, 5)} AS INT) AS n_solutions,
            |  CAST(${batterySql(Extract.ProofPatterns, 100, 1200, 2)} AS INT) AS n_proofs
            |FROM read_parquet('$corpusGlob') ORDER BY url""".stripMargin
+      },
+
+      // q41 oracle: the V2 benchmark builder's gate, concept batteries,
+      // problem-presence logic, and concept-difficulty variant recomputed
+      // in SQL over the same scored parquet (issues is an input column)
+      "q41_benchmark_v2_dist" -> {
+        import graft.derive.BenchmarkBuilders._
+        import graft.extract.Clean
+        val scoredGlob = new java.io.File(
+          "target/graft_fixture/scored_400").getAbsolutePath + "/*.parquet"
+        def pat(p: String) =
+          "'" + p.replace("'", "''").replace("\n", "\\n") + "'"
+        def cnt(terms: Seq[String], over: String) = terms
+          .map(w => s"(CASE WHEN contains($over, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        def anyOf(terms: Seq[String], over: String) = terms
+          .map(w => s"contains($over, '${w.replace("'", "''")}')")
+          .mkString("(", " OR ", ")")
+        // battery: group-1 extraction per pattern → transform → filter
+        def battery(patterns: Seq[String], mk: String => String,
+                    pred: String): String =
+          patterns.map(p =>
+            s"list_filter(list_transform(regexp_extract_all(text, ${pat(p)}, 1), " +
+              s"x -> ${mk("x")}), e -> $pred)")
+            .mkString("(", " || ", ")")
+        val eqClean = (x: String) =>
+          s"trim(regexp_replace(regexp_replace($x, '\\s+', ' ', 'g'), " +
+            s"${pat(Clean.EqStripClass)}, '', 'g'))"
+        val meaningfulEq =
+          s"(contains(e, '=') AND ${anyOf(graft.derive.Gates.PhysicsVars, "e")} AND " +
+            s"${anyOf(graft.derive.Gates.MathOps, "e")} AND length(trim(e)) > 8)"
+        val physV2 = s"(${anyOf(V2PhysicsTerms, "lower(e)")} OR ${anyOf(V2MathChars, "e")})"
+        val eqs = battery(V2EqPatterns, eqClean, s"length(e) > 0 AND $meaningfulEq")
+        val derivs = battery(V2DerivPatterns, x => s"trim($x)",
+          s"length(e) > 20 AND $physV2")
+        val scens = battery(V2ScenarioPatterns, x => s"trim($x)",
+          s"length(e) > 30 AND $physV2")
+        val nums = battery(V2NumPatterns, x => s"trim($x)",
+          s"regexp_matches(e, '\\d') AND ${anyOf(V2NumContexts, "lower(e)")} AND length(e) > 5")
+        val prins = V2PrinciplePatterns.map(p =>
+          s"list_transform(regexp_extract_all(text, ${pat(p)}, 1), x -> trim(x))")
+          .mkString("(", " || ", ")")
+        val suitSample = "substr(lower(text), 1, 2000)"
+        val dl =
+          s"""CASE WHEN (len(list_filter(eqs, e -> ${anyOf(AdvMathTerms, "lower(e)")}))
+             | + len(list_filter(prins, e -> ${anyOf(AdvPhysTerms, "lower(e)")}))) >= 3
+             |THEN 'advanced'
+             |WHEN (len(list_filter(eqs, e -> ${anyOf(AdvMathTerms, "lower(e)")}))
+             | + len(list_filter(prins, e -> ${anyOf(AdvPhysTerms, "lower(e)")}))) >= 1
+             |THEN 'intermediate' ELSE 'introductory' END"""
+            .stripMargin.replace("\n", " ")
+        s"""WITH suit AS (
+           |  SELECT text, issues FROM read_parquet('$scoredGlob')
+           |  WHERE length(trim(text)) >= 800
+           |    AND ((contains(text, '=') AND len(regexp_extract_all(text, '[A-Za-z]\\s*=')) >= 2)
+           |         OR (${cnt(V2SuitIndicators, suitSample)}) >= 4)),
+           |cx AS (
+           |  SELECT issues, $eqs AS eqs, $derivs AS derivs, $scens AS scens,
+           |    $nums AS nums, $prins AS prins
+           |  FROM suit),
+           |base AS (
+           |  SELECT *, $dl AS difficulty_level FROM cx
+           |  WHERE len(eqs) + len(derivs) + len(scens) + len(nums) + len(prins) > 0),
+           |probs AS (
+           |  SELECT 'mathematical_derivation_analysis' AS type, 'intermediate' AS difficulty,
+           |    difficulty_level FROM base WHERE len(eqs) > 0 OR len(derivs) > 0
+           |  UNION ALL
+           |  SELECT 'physical_scenario_analysis', 'intermediate', difficulty_level
+           |  FROM base WHERE len(scens) > 0
+           |  UNION ALL
+           |  SELECT 'error_detection_analysis', 'advanced', difficulty_level
+           |  FROM base WHERE len(issues) > 0 AND len(eqs) > 0
+           |  UNION ALL
+           |  SELECT 'numerical_analysis', 'intermediate', difficulty_level
+           |  FROM base WHERE len(nums) > 0)
+           |SELECT type, difficulty, difficulty_level, count(*) AS n
+           |FROM probs GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+      },
+
+      // q42 oracle: the V3 builder — including the pairwise two-group
+      // derivation battery (list_zip of group-1/group-2 extractions) and
+      // the issues-conditional scenario difficulty
+      "q42_benchmark_v3_dist" -> {
+        import graft.derive.BenchmarkBuilders._
+        val scoredGlob = new java.io.File(
+          "target/graft_fixture/scored_400").getAbsolutePath + "/*.parquet"
+        def pat(p: String) =
+          "'" + p.replace("'", "''").replace("\n", "\\n") + "'"
+        def cnt(terms: Seq[String], over: String) = terms
+          .map(w => s"(CASE WHEN contains($over, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        def anyOf(terms: Seq[String], over: String) = terms
+          .map(w => s"contains($over, '${w.replace("'", "''")}')")
+          .mkString("(", " OR ", ")")
+        val eqCleanV3 = (x: String) =>
+          s"trim(regexp_replace(regexp_replace($x, '\\s+', ' ', 'g'), " +
+            s"${pat(EqStripClassV3)}, '', 'g'))"
+        val physEqV3 =
+          s"(contains(e, '=') AND length(trim(e)) >= 5 AND " +
+            s"${anyOf(V3PhysicsVars, "e")} AND ${anyOf(V3MathOps, "e")})"
+        val eqs = V3EqPatterns.map(p =>
+          s"list_filter(list_transform(regexp_extract_all(text, ${pat(p)}, 1), " +
+            s"x -> ${eqCleanV3("x")}), e -> length(e) > 0 AND $physEqV3)")
+          .mkString("(", " || ", ")")
+        // pairwise (starting_point, result) via zipped group extractions
+        val derivs = V3DerivPatterns.map(p =>
+          s"list_filter(list_zip(" +
+            s"list_transform(regexp_extract_all(text, ${pat(p)}, 1), x -> trim(x)), " +
+            s"list_transform(regexp_extract_all(text, ${pat(p)}, 2), x -> trim(x))), " +
+            s"z -> length(z[1]) > 15 AND length(z[2]) > 10)")
+          .mkString("(", " || ", ")")
+        val nums = V3NumPatterns.map(p =>
+          s"list_filter(list_transform(regexp_extract_all(text, ${pat(p)}, 1), " +
+            s"x -> trim(x)), e -> regexp_matches(e, '\\d') AND " +
+            s"${anyOf(V3NumContexts, "lower(e)")} AND length(e) > 4)")
+          .mkString("(", " || ", ")")
+        val scens = V3ScenarioPatterns.map(p =>
+          s"list_filter(list_transform(regexp_extract_all(text, ${pat(p)}, 1), " +
+            s"x -> trim(x)), e -> length(e) > 25 AND ${anyOf(V3PhysicsTerms, "lower(e)")})")
+          .mkString("(", " || ", ")")
+        val suitSample = "substr(lower(text), 1, 1500)"
+        s"""WITH suit AS (
+           |  SELECT text, issues FROM read_parquet('$scoredGlob')
+           |  WHERE length(trim(text)) >= 600
+           |    AND ((contains(text, '=') AND len(regexp_extract_all(text, '[A-Za-z]\\s*=')) >= 1)
+           |         OR (${cnt(V3SuitTerms, suitSample)}) >= 3)),
+           |cx AS (
+           |  SELECT issues, $eqs AS eqs, $derivs AS derivs, $nums AS nums,
+           |    $scens AS scens
+           |  FROM suit),
+           |base AS (
+           |  SELECT * FROM cx
+           |  WHERE len(eqs) > 0 OR len(derivs) > 0 OR len(nums) > 0),
+           |probs AS (
+           |  SELECT 'equation_analysis' AS type, 'intermediate' AS difficulty
+           |  FROM base WHERE len(eqs) > 0
+           |  UNION ALL
+           |  SELECT 'derivation_verification', 'advanced' FROM base WHERE len(derivs) > 0
+           |  UNION ALL
+           |  SELECT 'numerical_analysis', 'intermediate' FROM base WHERE len(nums) > 0
+           |  UNION ALL
+           |  SELECT 'scenario_analysis',
+           |    (CASE WHEN len(issues) > 0 THEN 'advanced' ELSE 'intermediate' END)
+           |  FROM base WHERE len(scens) > 0)
+           |SELECT type, difficulty, count(*) AS n
+           |FROM probs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
       },
 
       // q39 oracle: the ENTIRE training-example derive chain in SQL —

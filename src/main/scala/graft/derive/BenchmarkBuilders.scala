@@ -53,12 +53,12 @@ object BenchmarkBuilders {
   /** _contains_physics_content (enhanced_benchmark_builder.py:404-420):
     * >= 1 of 21 physics terms OR a math char (incl '^').
     */
-  private[derive] val V2PhysicsTerms = Seq(
+  private[graft] val V2PhysicsTerms = Seq(
     "energy", "force", "field", "particle", "wave", "mass", "velocity",
     "momentum", "charge", "potential", "frequency", "wavelength",
     "temperature", "pressure", "density", "current", "voltage",
     "magnetic", "electric", "quantum", "classical", "relativistic")
-  private[derive] val V2MathChars = Seq("=", "+", "-", "*", "/", "(", ")", "^")
+  private[graft] val V2MathChars = Seq("=", "+", "-", "*", "/", "(", ")", "^")
 
   private def containsPhysicsContentV2(c: Column): Column =
     containsAny(lower(c), V2PhysicsTerms) || containsAny(c, V2MathChars)
@@ -67,7 +67,7 @@ object BenchmarkBuilders {
     * len >= 800 AND (>= 2 'X =' matches OR >= 4 of 10 indicators in
     * text[:2000]).
     */
-  private[derive] val V2SuitIndicators = Seq(
+  private[graft] val V2SuitIndicators = Seq(
     "energy", "force", "field", "particle", "wave", "quantum",
     "equation", "formula", "derivation", "calculation")
 
@@ -81,7 +81,7 @@ object BenchmarkBuilders {
   }
 
   /** _extract_actual_concepts_from_paper equation battery (:76-89). */
-  private[derive] val V2EqPatterns = Seq(
+  private[graft] val V2EqPatterns = Seq(
     "(?i)([A-Za-z_]\\w*\\s*=\\s*[^,.\\n]{10,80})",
     "(?i)(\\\\frac\\{[^}]+\\}\\{[^}]+\\}(?:\\s*[=+\\-]\\s*[^.]{0,50})?)",
     "(?i)((?:E|F|V|p|m|v|a|g|H|L|T|P)\\s*=\\s*[^,.\\n]{5,60})",
@@ -93,7 +93,7 @@ object BenchmarkBuilders {
       e => (length(e) > 0) && Gates.isMeaningfulEquation(e))
 
   /** derivation battery (:91-104): group-1 fragments, len > 20 + physics. */
-  private[derive] val V2DerivPatterns = Seq(
+  private[graft] val V2DerivPatterns = Seq(
     "(?i)(?:Starting with|Beginning with|From|Given)\\s+([^.]*?(?:equation|formula|relation)[^.]*?)(?:\\.|\\n)",
     "(?i)(?:Substituting|Using|Applying)\\s+([^.]*?(?:=|into|yields?)[^.]*?)(?:\\.|\\n)",
     "(?i)(?:Therefore|Thus|Hence)\\s+([^.]*?=\\s*[^.]*?)(?:\\.|\\n)")
@@ -103,7 +103,7 @@ object BenchmarkBuilders {
       d => (length(d) > 20) && containsPhysicsContentV2(d))
 
   /** scenario battery (:106-118): len > 30 + physics content. */
-  private[derive] val V2ScenarioPatterns = Seq(
+  private[graft] val V2ScenarioPatterns = Seq(
     "(?i)(?:Consider|Suppose|Let|Assume)\\s+([^.]*?(?:particle|system|field|wave|oscillator|potential)[^.]*?)(?:\\.|\\n)",
     "(?i)(?:In this|Our|The)\\s+([^.]*?(?:experiment|setup|system|model|approach)[^.]*?)(?:\\.|\\n)",
     "(?i)(?:We study|We consider|We analyze)\\s+([^.]*?)(?:\\.|\\n)")
@@ -115,10 +115,10 @@ object BenchmarkBuilders {
   /** numerical battery (:120-130) + _is_meaningful_numerical_value
     * (:422-440: a digit, a unit/context substring, len > 5).
     */
-  private[derive] val V2NumPatterns = Seq(
+  private[graft] val V2NumPatterns = Seq(
     "(?i)([A-Za-z_]\\w*\\s*=\\s*[0-9]+\\.?[0-9]*(?:\\s*×\\s*10[⁻⁰-⁹]+)?\\s*(?:m|kg|s|Hz|eV|K|Pa|N|J|W|V|A|T|rad)?\\b)",
     "(?i)((?:wavelength|frequency|energy|mass|velocity|temperature|pressure)\\s*(?:of|=|is)\\s*[0-9]+[^.\\n]*)")
-  private[derive] val V2NumContexts = Seq(
+  private[graft] val V2NumContexts = Seq(
     "m", "kg", "s", "hz", "ev", "k", "pa", "n", "j", "w", "v", "a", "t",
     "wavelength", "frequency", "energy", "mass", "velocity", "temperature")
 
@@ -128,7 +128,7 @@ object BenchmarkBuilders {
         (length(v) > 5))
 
   /** principles battery (:132-146). */
-  private[derive] val V2PrinciplePatterns = Seq(
+  private[graft] val V2PrinciplePatterns = Seq(
     "(?i)(conservation of \\w+[^.]*)",
     "(?i)(Newton'?s? \\w+ law[^.]*)",
     "(?i)(Maxwell'?s? equations?[^.]*)",
@@ -143,8 +143,8 @@ object BenchmarkBuilders {
     * variant: +1 per equation with an advanced-math term, +1 per principle
     * with an advanced-physics term; >=3 advanced, >=1 intermediate.
     */
-  private val AdvMathTerms = Seq("tensor", "∇", "∂", "∫", "eigenvalue")
-  private val AdvPhysTerms = Seq("quantum field", "relativity", "symmetry")
+  private[graft] val AdvMathTerms = Seq("tensor", "∇", "∂", "∫", "eigenvalue")
+  private[graft] val AdvPhysTerms = Seq("quantum field", "relativity", "symmetry")
 
   def conceptDifficulty(equations: Column, principles: Column): Column = {
     val advEq = size(filter(equations, e => containsAny(lower(e), AdvMathTerms)))
@@ -281,7 +281,7 @@ object BenchmarkBuilders {
   /** _contains_physics_content v3 (:377-388): term presence ONLY (no math
     * fallback, 17 terms).
     */
-  private[derive] val V3PhysicsTerms = Seq(
+  private[graft] val V3PhysicsTerms = Seq(
     "energy", "force", "field", "particle", "wave", "mass", "velocity",
     "momentum", "charge", "potential", "frequency", "wavelength",
     "temperature", "pressure", "current", "magnetic", "electric")
@@ -292,25 +292,25 @@ object BenchmarkBuilders {
   /** _is_physics_equation (:333-346): '=', len >= 5, physics var (incl
     * psi/phi), math op (incl sqrt).
     */
-  private[derive] val V3PhysicsVars = Gates.PhysicsVars ++ Seq("ψ", "φ")
-  private[derive] val V3MathOps = Gates.MathOps :+ "√"
+  private[graft] val V3PhysicsVars = Gates.PhysicsVars ++ Seq("ψ", "φ")
+  private[graft] val V3MathOps = Gates.MathOps :+ "√"
 
   def isPhysicsEquationV3(eq: Column): Column =
     eq.contains("=") && (length(trim(eq)) >= 5) &&
       containsAny(eq, V3PhysicsVars) && containsAny(eq, V3MathOps)
 
   /** _clean_equation v3 (:374-378) — the C8 variant whose whitelist adds
-    * the radical sign.
+    * the radical sign. Class shared with the q42 SQL oracle.
     */
+  private[graft] val EqStripClassV3 = "[^\\w\\s=+\\-*/(){}\\\\.,∇∂∫√α-ωΑ-Ω]"
+
   def equationCleanV3(c: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(c, Clean.WsRun, " "),
-      "[^\\w\\s=+\\-*/(){}\\\\.,∇∂∫√α-ωΑ-Ω]", ""))
+    trim(regexp_replace(regexp_replace(c, Clean.WsRun, " "), EqStripClassV3, ""))
 
   /** _is_suitable_for_benchmark v3 (:396-411): len >= 600 AND
     * (>= 1 'X =' match OR >= 3 of 7 terms in text[:1500]).
     */
-  private[derive] val V3SuitTerms = Seq(
+  private[graft] val V3SuitTerms = Seq(
     "energy", "force", "field", "particle", "wave", "mass", "equation")
 
   def suitableForBenchmarkV3(text: Column): Column = {
@@ -320,7 +320,7 @@ object BenchmarkBuilders {
     (length(trim(text)) >= 600) && (hasEq || cnt >= 3)
   }
 
-  private[derive] val V3EqPatterns = Seq(
+  private[graft] val V3EqPatterns = Seq(
     "(?i)([A-Za-z_]\\w*\\s*=\\s*[^,.\\n]{8,60})",
     "(?i)((?:E|F|V|p|m|v|a|g|H|L|T|P|ρ|σ|ω|λ|μ|ε)\\s*=\\s*[^,.\\n]{5,50})",
     "(?i)(\\\\frac\\{[^}]+\\}\\{[^}]+\\}(?:\\s*[=+\\-]\\s*[^.]{0,40})?)")
@@ -332,7 +332,7 @@ object BenchmarkBuilders {
   /** Pairwise derivations (:98-110): (starting_point, result) structs from
     * two-group patterns, start > 15 chars and result > 10 chars.
     */
-  private[derive] val V3DerivPatterns = Seq(
+  private[graft] val V3DerivPatterns = Seq(
     "(?i)(?:Starting with|From|Given)\\s+([^.]*?)(?:we get|we obtain|this gives)\\s+([^.]*?)(?:\\.|\\n)",
     "(?i)(?:Using|Substituting)\\s+([^.]*?)(?:into|in)\\s+([^.]*?)(?:\\.|\\n)")
 
@@ -345,17 +345,17 @@ object BenchmarkBuilders {
       d => (length(d.getField("starting_point")) > 15) &&
         (length(d.getField("result")) > 10))
 
-  private[derive] val V3NumPatterns = Seq(
+  private[graft] val V3NumPatterns = Seq(
     "(?i)([A-Za-z_]\\w*\\s*=\\s*[0-9]+\\.?[0-9]*(?:\\s*×\\s*10[⁻⁰-⁹]+)?\\s*(?:m|kg|s|Hz|eV|K|Pa|N|J|W|V|A|T|rad)?)",
     "(?i)((?:wavelength|frequency|energy|mass|velocity|temperature|pressure)\\s*(?:of|=|is)\\s*[0-9][^.\\n]*)")
-  private[derive] val V3NumContexts = V2NumContexts ++ Seq("rad", "pressure")
+  private[graft] val V3NumContexts = V2NumContexts ++ Seq("rad", "pressure")
 
   private[graft] def v3Numericals(text: Column): Column =
     filter(transform(hitsAll(text, V3NumPatterns), m => trim(m)),
       v => v.rlike("\\d") && containsAny(lower(v), V3NumContexts) &&
         (length(v) > 4))
 
-  private[derive] val V3ScenarioPatterns = Seq(
+  private[graft] val V3ScenarioPatterns = Seq(
     "(?i)(?:Consider|Suppose|Let)\\s+([^.]*?(?:particle|system|field|wave|oscillator)[^.]*?)(?:\\.|\\n)",
     "(?i)(?:We study|We consider|In this work)\\s+([^.]*?)(?:\\.|\\n)")
 

@@ -233,15 +233,18 @@ object Clean {
   // C8 — equation clean (reference: analysis/enhanced_benchmark_builder.py:502-508)
   // whitespace collapse; charset whitelist strip.
   // ---------------------------------------------------------------------
+  /** Shared with the SQL oracles (q41) — one source of truth for the
+    * whitelist class.
+    */
+  private[graft] val EqStripClass = "[^\\w\\s=+\\-*/(){}\\\\.,∇∂∫α-ωΑ-Ω]"
+
   def equationClean(c: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(c, WsRun, " "),
-      "[^\\w\\s=+\\-*/(){}\\\\.,∇∂∫α-ωΑ-Ω]", ""))
+    trim(regexp_replace(regexp_replace(c, WsRun, " "), EqStripClass, ""))
 
   def equationCleanStr(t: String): String = {
     if (t == null) return ""
     t.replaceAll(WsRun, " ")
-      .replaceAll("[^\\w\\s=+\\-*/(){}\\\\.,∇∂∫α-ωΑ-Ω]", "")
+      .replaceAll(EqStripClass, "")
       .trim
   }
 }

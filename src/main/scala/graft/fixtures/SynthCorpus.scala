@@ -131,6 +131,13 @@ object SynthCorpus {
           "the lagrangian and the hamiltonian tensor formulation of the field ")
         else if (p < 0.10) sb.append(
           "quantum mechanics and statistical mechanics govern the wave equation under thermodynamics ")
+        // concept-difficulty plants (v2 builder): an equation carrying an
+        // advanced-math term and a principle carrying an advanced-physics
+        // term, so conceptDifficulty's intermediate/advanced branches occur
+        else if (p < 0.105) sb.append(
+          "H = tensor(T) + flux of the field density ")
+        else if (p < 0.11) sb.append(
+          "conservation of momentum under relativity holds. ")
       }
     }
     sb.toString.take(targetLen + 200) // bounded; boundary lens stay exact-ish
