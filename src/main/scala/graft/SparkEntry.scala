@@ -377,10 +377,16 @@ object SparkEntry {
       val media = graft.multimodal.Media.mediaFromBinary(
         docs(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
         "doc_id", "blob", "image")
+      // the stub's bucket-0 value is compared as an EXACT integer: the
+      // normalized Float times the byte length recovers the bucket count
+      // (error ~1e-8·n ≪ 0.5 at these blob sizes), which DuckDB recounts
+      // independently — decimal-rounding the Float itself is unsound (real
+      // blobs land exactly on .5 rounding ties, e.g. 61/320 = 0.190625)
       graft.multimodal.Media.withFeatures(media, "bytes", "features")
         .select(col("media_id"), col("meta.kind").as("kind"),
           size(col("features")).as("feature_dim"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          round(element_at(col("features"), 1).cast("double") *
+            length(col("bytes"))).cast("long").as("f0_count"))
         .orderBy("media_id")
     }),
 
@@ -979,6 +985,17 @@ object SparkEntry {
           |  round(avg(n_chars), 6) AS avg_value,
           |  round(CAST(sum(n_chars) AS DOUBLE), 6) AS sum_value
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // q33 oracle: the mapPartitions feature plumbing verified against an
+      // independent recompute of the stub's bucket-0 value — the fraction
+      // of blob bytes ≡ 0 (mod 16), i.e. ASCII NUL/DLE/space/0/@/P/`/p
+      // (documents.text is pure ASCII, so chars ≡ bytes; q34 pins the
+      // byte-length equivalence)
+      "q33_media_features" ->
+        """SELECT doc_id AS media_id, 'image' AS kind, 16 AS feature_dim,
+          |  CAST(len(regexp_extract_all(text, '[\x00\x10 0@P`p]')) AS BIGINT)
+          |    AS f0_count
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q34_blob_stats" ->
         """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
