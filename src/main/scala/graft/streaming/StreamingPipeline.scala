@@ -66,6 +66,63 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
 
   // ------------------------------------------------------------------
+  // Streaming exact dedup — the stream face of Dedup.exactSurvivors.
+  // ------------------------------------------------------------------
+
+  /** Canonical path: Spark's own streaming `dropDuplicates` over the
+    * 128-bit content key (state-store-backed, the built-in operator is
+    * exactly this job — preference (a) of the custom-op ladder). Pass a
+    * watermark column name to bound state: keys older than the watermark
+    * are evicted, the standard web-crawl dedup-horizon tradeoff
+    * (re-crawls beyond the horizon are re-admitted).
+    *
+    * Within a micro-batch the kept row is the first encountered —
+    * arrival-order-dependent. For deterministic min-id survivors use
+    * `streamingExactDedupMinId`.
+    */
+  def streamingDedup(docs: DataFrame, textCol: String,
+                     watermarkCol: Option[String] = None,
+                     horizon: String = "24 hours"): DataFrame = {
+    val keyed = docs.withColumn("dup_key", md5(col(textCol).cast("binary")))
+    watermarkCol match {
+      case Some(ts) => keyed.withWatermark(ts, horizon)
+        .dropDuplicates("dup_key", ts)
+      case None => keyed.dropDuplicates("dup_key")
+    }
+  }
+
+  final case class DedupSurvivor(dup_key: String, id: Long)
+
+  /** Deterministic variant: one boolean of state per content key; emits
+    * (key, min id in the FIRST micro-batch containing the key). When
+    * arrival order respects id order, this equals the batch
+    * `Dedup.exactSurvivors` keeper exactly (StreamingDedupSpec); across
+    * arbitrary arrival orders the survivor is the earliest-arrival batch's
+    * min id — the honest streaming semantics (a stream cannot retro-swap
+    * an already-emitted survivor).
+    */
+  def streamingExactDedupMinId(docs: DataFrame, idCol: String,
+                               textCol: String): org.apache.spark.sql.Dataset[DedupSurvivor] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(md5(col(textCol).cast("binary")).as("dup_key"),
+        col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(DedupSurvivor(key, rows.map(_._2).min))
+          }
+        })
+  }
+
+  // ------------------------------------------------------------------
   // Custom state: per-domain running keep statistics via
   // flatMapGroupsWithState (the KeyValueGroupedDataset state-store path —
   // what a production filter uses for per-host rate limiting / quota).
