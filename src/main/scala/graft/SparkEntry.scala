@@ -328,6 +328,28 @@ object SparkEntry {
         .orderBy("type", "difficulty")
     }),
 
+    // ---- RL training builders (third and fourth training paths of the
+    // reference; rows-only — the explicit batteries use lookaheads, which
+    // RE2/DuckDB lacks; parity is golden-tested in RlBuilderSpec against
+    // values produced by executing the reference logic itself) ----
+    "q43_rl_training_v2" -> ((s, dir) => {
+      val corpus = s.read.parquet(graft.fixtures.SynthCorpus.materializedCorpus(s))
+        .withColumn("subject", lit("Physics"))
+        .withColumn("title", lit(BenchmarkTitleFixture))
+      graft.derive.RlBuilder.rlTrainingExamples(corpus, "url", "text",
+        "subject", "title")
+        .orderBy("id")
+    }),
+
+    "q44_rl_training_v3" -> ((s, dir) => {
+      val corpus = s.read.parquet(graft.fixtures.SynthCorpus.materializedCorpus(s))
+        .withColumn("subject", lit("Physics"))
+        .withColumn("title", lit(BenchmarkTitleFixture))
+      graft.derive.RlBuilder.rlTrainingExamplesV3(corpus, "url", "text",
+        "subject", "title")
+        .orderBy("id")
+    }),
+
     // ---- training gate + E13 block-battery counts: the oracle-checkable
     // layer of the q30 derive path (DuckDB recomputes the suitability gate
     // and all 14 battery patterns with their length windows and term

@@ -104,22 +104,26 @@ object Extract {
     "(?i)(?:From|Using|By|Since)\\s+([^.]+\\.)",
     "(?i)(?:Therefore|Thus|Hence)\\s+([^.]+\\.)")
 
-  def reasoningSteps(c: Column): Column = {
-    val primary = concat(StepPatterns.map(p =>
+  def reasoningSteps(c: Column): Column =
+    // each battery is referenced twice in the when-chain (size + value) —
+    // Let-bound so the regex work runs once (see graft.functions.Let)
+    graft.functions.Let(concat(StepPatterns.map(p =>
       filter(transform(hits(c, p, 1), m => trim(m)),
-        s => length(s) > 10 && isMeaningfulStep(s))): _*)
-    val eqSteps = filter(transform(hits(c, "([^.]*=\\s*[^.]*\\.)", 1), m => trim(m)),
-      s => length(s) > 10 && s.contains("="))
-    val sentences = filter(
-      transform(split(coalesce(c, lit("")), "[.!?]+"), s => trim(s)),
-      s => length(s) > 15 && isMeaningfulStep(s))
-    val sentSteps = transform(sentences, s => concat(s, lit(".")))
-    slice(
-      when(size(primary) > 0, primary)
-        .when(size(eqSteps) > 0, eqSteps)
-        .otherwise(sentSteps),
-      1, 6)
-  }
+        s => length(s) > 10 && isMeaningfulStep(s))): _*)) { primary =>
+      graft.functions.Let(
+        filter(transform(hits(c, "([^.]*=\\s*[^.]*\\.)", 1), m => trim(m)),
+          s => length(s) > 10 && s.contains("="))) { eqSteps =>
+        val sentences = filter(
+          transform(split(coalesce(c, lit("")), "[.!?]+"), s => trim(s)),
+          s => length(s) > 15 && isMeaningfulStep(s))
+        val sentSteps = transform(sentences, s => concat(s, lit(".")))
+        slice(
+          when(size(primary) > 0, primary)
+            .when(size(eqSteps) > 0, eqSteps)
+            .otherwise(sentSteps),
+          1, 6)
+      }
+    }
 
   // ------------------------------------------------------------------
   // E15 (analyser variant) — reasoning-step extraction

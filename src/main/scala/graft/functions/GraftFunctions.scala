@@ -157,6 +157,24 @@ object DotExpr {
   }
 }
 
+/** Expression-level `let`: binds a value to a lambda variable so the body
+  * can reference it many times at ONE evaluation's cost.
+  *
+  * This is ComputeOnce's sibling for positions where a DataFrame barrier
+  * can't reach — INSIDE higher-order-function lambdas. Column composition
+  * duplicates the argument subtree into every use site (e.g. a
+  * clean-then-validate chain referenced by 27 `contains` checks evaluates
+  * its regex chain 27 times per candidate — measured 50+ s over a 400-doc
+  * fixture); `transform(array(v), body)` evaluates `v` once, binds it to
+  * the lambda variable, and every body reference reads the bound value.
+  */
+object Let {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{array, lit, transform, try_element_at}
+  def apply(v: Column)(body: Column => Column): Column =
+    try_element_at(transform(array(v), body), lit(1))
+}
+
 /** Materialization barrier for expensive per-row expressions.
   *
   * CollapseProject inlines an aliased expression into each downstream
