@@ -350,6 +350,37 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- UGPhysics-style builders (EnhancedBenchmarkBuilder /
+    // EnhancedTrainingDataBuilder). q45 carries a full DuckDB oracle —
+    // its batteries have no lookaheads, so gate, batteries, best-content
+    // selection, the advanced problem/solution split, and the >= 2 rule
+    // are all recomputed in SQL. q46 is rows-only (lookahead patterns);
+    // both are reference-run golden-tested in UgBuildersSpec. ----
+    "q45_ug_benchmark" -> ((s, dir) => {
+      val scored = s.read.parquet(graft.fixtures.SynthCorpus.materializedScored(s))
+        .withColumn("subject", lit("Quantum Physics"))
+        .withColumn("title", lit(BenchmarkTitleFixture))
+        .withColumn("abstract", substring(col("text"), 1, 1200))
+      graft.derive.UgBuilders.ugBenchmarkItems(scored, "url", "text",
+        "subject", "title", "abstract")
+        .select("url", "qtype", "n_questions")
+        .orderBy("url", "qtype")
+    }),
+
+    "q46_ug_training" -> ((s, dir) => {
+      val corpus = s.read.parquet(graft.fixtures.SynthCorpus.materializedCorpus(s))
+        .withColumn("subject", lit("Physics"))
+        .withColumn("title", lit(BenchmarkTitleFixture))
+      graft.derive.UgBuilders.ugTrainingExamples(corpus, "url", "text",
+        "subject", "title")
+        .select(col("id"), col("url"), col("example_type"),
+          col("problem_statement"), col("step_count"), col("difficulty"),
+          col("topic"), col("reasoning_type"),
+          array_join(col("prerequisites"), "|").as("prereqs"),
+          size(col("concepts")).as("n_concepts"))
+        .orderBy("id")
+    }),
+
     // ---- training gate + E13 block-battery counts: the oracle-checkable
     // layer of the q30 derive path (DuckDB recomputes the suitability gate
     // and all 14 battery patterns with their length windows and term
@@ -727,6 +758,89 @@ object SparkEntry {
            |FROM read_parquet('$corpusGlob') ORDER BY url""".stripMargin
       },
 
+      // q45 oracle: the UGPhysics benchmark builder end-to-end in SQL —
+      // suitability gate, the three content batteries, first-longest /
+      // first->20-char best-content selection, the advanced
+      // problem/solution split (first separator match located via
+      // regexp_split prefix + matched text), per-question presence rules,
+      // and the >= 2-questions item gate
+      "q45_ug_benchmark" -> {
+        import graft.derive.UgBuilders._
+        val scoredGlob = new java.io.File(
+          "target/graft_fixture/scored_400").getAbsolutePath + "/*.parquet"
+        def pat(p: String) =
+          "'" + p.replace("'", "''").replace("\n", "\\n") + "'"
+        def cnt(terms: Seq[String], over: String) = terms
+          .map(w => s"(CASE WHEN contains($over, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        def battery(patterns: Seq[String], minLen: Int) = patterns
+          .map(p => s"list_filter(list_transform(regexp_extract_all(text, ${pat(p)}), " +
+            s"x -> trim(x)), m -> length(m) > $minLen)")
+          .mkString("(", " || ", ")")
+        val eqs = battery(UgEqPatterns, 5)
+        val derivs = battery(UgDerivPatterns, 50)
+        val probs = battery(UgProblemPatterns, 100)
+        val sample = "substr(lower(text), 1, 2000)"
+        val gate = s"(${cnt(UgPhysicsIndicators, sample)} + ${cnt(UgMathIndicators, sample)})"
+        // first element among maximal lengths = Python max(key=len)
+        def firstLongest(l: String) =
+          s"list_filter($l, x -> length(x) = list_max(list_transform($l, y -> length(y))))[1]"
+        // advanced split (Gates.problemSolutionParts): end of the FIRST
+        // match of the first separator pattern that matches; midpoint
+        // fallback. DuckDB locates the first match via split-prefix length.
+        val seps = Seq(
+          "(?is)(?:Solution|Answer)\\s*:",
+          "(?is)(?:Given|Find|Calculate|Determine).*?(?:Solution|Answer)",
+          "(?is)(?:Problem)\\s*:.*?(?:Solution|Answer)\\s*:")
+        def sepEnd(over: String) = seps.map { sp =>
+          s"(CASE WHEN regexp_extract($over, ${pat(sp)}, 0) <> '' THEN " +
+            s"length(regexp_split_to_array($over, ${pat(sp)})[1]) + " +
+            s"length(regexp_extract($over, ${pat(sp)}, 0)) ELSE NULL END)"
+        }.mkString("coalesce(", ", ", s", CAST(length($over) // 2 AS INT))")
+        s"""WITH suit AS (
+           |  SELECT url, text, issues FROM read_parquet('$scoredGlob')
+           |  WHERE length(trim(text)) >= 500
+           |    AND $gate >= (CASE WHEN contains(lower(url), 'vixra') THEN 2 ELSE 3 END)),
+           |cx AS (
+           |  SELECT url, issues, $eqs AS eqs, $derivs AS derivs, $probs AS probs
+           |  FROM suit),
+           |base AS (
+           |  SELECT * FROM cx WHERE len(eqs) + len(derivs) + len(probs) > 0),
+           |best AS (
+           |  SELECT *,
+           |    (CASE WHEN len(derivs) > 0 THEN ${firstLongest("derivs")}
+           |          ELSE list_filter(eqs, e -> length(e) > 20)[1] END) AS bestc,
+           |    (CASE WHEN len(probs) > 0 THEN ${firstLongest("probs")} END) AS bestp
+           |  FROM cx WHERE len(eqs) + len(derivs) + len(probs) > 0),
+           |flags AS (
+           |  SELECT url,
+           |    ((len(eqs) > 0 OR len(derivs) > 0)
+           |      AND bestc IS NOT NULL AND length(bestc) >= 30) AS q1,
+           |    (len(issues) > 0) AS q2,
+           |    (len(probs) > 0 AND
+           |      length(trim(substr(bestp, 1, ${sepEnd("bestp")}))) >= 30 AND
+           |      length(trim(substr(bestp, ${sepEnd("bestp")} + 1,
+           |        length(bestp)))) >= 50) AS q3,
+           |    true AS q4
+           |  FROM best),
+           |kept AS (
+           |  SELECT url,
+           |    (CASE WHEN q1 THEN 1 ELSE 0 END + CASE WHEN q2 THEN 1 ELSE 0 END +
+           |     CASE WHEN q3 THEN 1 ELSE 0 END + 1) AS n_questions,
+           |    q1, q2, q3 FROM flags
+           |  WHERE (CASE WHEN q1 THEN 1 ELSE 0 END + CASE WHEN q2 THEN 1 ELSE 0 END +
+           |         CASE WHEN q3 THEN 1 ELSE 0 END + 1) >= 2)
+           |SELECT url, qtype, n_questions FROM (
+           |  SELECT url, 'mathematical_derivation' AS qtype, n_questions FROM kept WHERE q1
+           |  UNION ALL
+           |  SELECT url, 'reasoning_analysis', n_questions FROM kept WHERE q2
+           |  UNION ALL
+           |  SELECT url, 'problem_solving', n_questions FROM kept WHERE q3
+           |  UNION ALL
+           |  SELECT url, 'principles_application', n_questions FROM kept)
+           |ORDER BY url, qtype""".stripMargin
+      },
+
       // q41 oracle: the V2 benchmark builder's gate, concept batteries,
       // problem-presence logic, and concept-difficulty variant recomputed
       // in SQL over the same scored parquet (issues is an input column)
@@ -965,9 +1079,9 @@ object SparkEntry {
            |    AND ($stepPhys) >= (CASE WHEN contains(lower(url), 'vixra') THEN 2 ELSE 3 END)),
            |blk AS (
            |  SELECT example_type, unnest(blks) AS block FROM (
-           |    SELECT 'derivation' AS example_type, list_slice($derList, 1, 5) AS blks FROM suit
+           |    SELECT 'derivation' AS example_type, list_slice($derList, 1, 3) AS blks FROM suit
            |    UNION ALL
-           |    SELECT 'solution' AS example_type, list_slice($solList, 1, 5) AS blks FROM suit
+           |    SELECT 'solution' AS example_type, list_slice($solList, 1, 3) AS blks FROM suit
            |    UNION ALL
            |    SELECT 'proof' AS example_type, list_slice($prfList, 1, 2) AS blks FROM suit)),
            |cf AS (

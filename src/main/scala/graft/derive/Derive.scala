@@ -69,9 +69,11 @@ object Derive {
     val withBlocks = graft.functions.ComputeOnce(
       df.filter(suitableForTraining(text, col(urlCol))), "__bx", fusedBlocks)
       .withColumn("blocks", concat(
-        // caps per enhanced_paper_analyser.py:693-706
-        blockStruct(slice(col("__bx.derivations"), 1, 5), "derivation"),
-        blockStruct(slice(col("__bx.solutions"), 1, 5), "solution"),
+        // loop caps per enhanced_paper_analyser.py:692-705 — the find-level
+        // caps are 7/7/3 (BlockExtractExpr), the processing loop then takes
+        // derivations[:3], solutions[:3], proofs[:2]
+        blockStruct(slice(col("__bx.derivations"), 1, 3), "derivation"),
+        blockStruct(slice(col("__bx.solutions"), 1, 3), "solution"),
         blockStruct(slice(col("__bx.proofs"), 1, 2), "proof")))
       .drop("__bx")
       .filter(size(col("blocks")) > 0)

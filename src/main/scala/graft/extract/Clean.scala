@@ -180,6 +180,22 @@ object Clean {
   }
 
   // ---------------------------------------------------------------------
+  // C4b — training-title scrub (enhanced_paper_analyser.py:866-878): same
+  // regex battery as C4 but default "Physics paper" at threshold 5.
+  // ---------------------------------------------------------------------
+  val TrainingTitleDefault = "Physics paper"
+
+  def titleCleanTraining(c: Column): Column = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "(?i)\\(Note by viXra Admin:.*?\\)", ""),
+        "(?i)^\\d+\\s+Pages?\\.\\s*", ""),
+      WsRun, " "))
+    when(c.isNull || length(cleaned) < 5, lit(TrainingTitleDefault))
+      .otherwise(cleaned)
+  }
+
+  // ---------------------------------------------------------------------
   // C5 — abstract truncate (reference: enhanced_paper_analyser.py:194-203)
   // ---------------------------------------------------------------------
   def abstractTruncate(c: Column): Column =
