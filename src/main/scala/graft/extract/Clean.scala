@@ -208,6 +208,43 @@ object Clean {
     else t
 
   // ---------------------------------------------------------------------
+  // C14 — OCR formatting fixes (analysis/pdf_processor.py:439-455):
+  // sentence-boundary spacing, camelCase split, ligature + greek spellouts,
+  // whitespace normalization. Part of the enhanced-OCR text path.
+  // ---------------------------------------------------------------------
+  def fixFormattingIssues(c: Column): Column = {
+    var s = regexp_replace(c, "\\.([A-Z])", ". $1")
+    s = regexp_replace(s, "([a-z])([A-Z])", "$1 $2")
+    for ((from, to) <- Seq("ﬁ" -> "fi", "ﬂ" -> "fl", "α" -> "alpha",
+      "β" -> "beta", "γ" -> "gamma", "Δ" -> "Delta", "∇" -> "nabla",
+      "∂" -> "partial"))
+      s = regexp_replace(s, from, to)
+    s = regexp_replace(s, "[ \\t]+", " ")
+    regexp_replace(s, "\n\n\n+", "\n\n")
+  }
+
+  // ---------------------------------------------------------------------
+  // C15 — fallback-extraction clean (analysis/pdf_processor.py:508-530).
+  // Reference quirks reproduced exactly: the leading `\s+` collapse
+  // removes every newline BEFORE the per-line filter, so the "loop" sees
+  // ONE line — a whole text starting with "Page <n>", an all-digit text,
+  // or a short arXiv:/viXra: stamp cleans to EMPTY; and the ligature
+  // replace is dead code (non-ASCII already stripped), kept for fidelity.
+  // ---------------------------------------------------------------------
+  def fallbackClean(c: Column): Column = {
+    var s = regexp_replace(coalesce(c, lit("")), WsRun, " ")
+    s = regexp_replace(s, "[^\\x00-\\x7F]+", "")
+    s = regexp_replace(regexp_replace(s, "ﬁ", "fi"), "ﬂ", "fl")
+    graft.functions.Let(trim(s)) { line =>
+      when(length(line) < 3 ||
+        line.rlike("^\\d+$") || line.rlike("^Page \\d+") ||
+        (line.contains("arXiv:") && length(line) < 50) ||
+        (line.contains("viXra:") && length(line) < 50), lit(""))
+        .otherwise(line)
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // C6 — training-text clean (reference: enhanced_paper_analyser.py:895-916)
   // utf-8 ignore re-encode is a no-op on a valid String column (documented);
   // \s+ collapse; `$..$` normalize (identity rewrite, kept for parity);

@@ -93,6 +93,26 @@ class CleanSpec extends SparkTestBase {
     assert(runCol(Clean.abstractTruncate, long) == "a" * 1000 + "...")
   }
 
+  // C14 — pdf_processor.py:439-455 (expected values from executing the
+  // reference function)
+  test("C14 fixFormattingIssues: boundaries, camelCase, greek spellouts") {
+    assert(runCol(Clean.fixFormattingIssues, "end.Start aB ∂x α and Δy") ==
+      "end. Start a B partialx alpha and Deltay")
+    assert(runCol(Clean.fixFormattingIssues, "a\t\t b\n\n\n\nc") == "a b\n\nc")
+  }
+
+  // C15 — pdf_processor.py:508-530 (quirks pinned by executing the
+  // reference: whole-text line filter after newline collapse; dead
+  // ligature replace after the ASCII strip)
+  test("C15 fallbackClean: single-line quirk and skip conditions") {
+    assert(runCol(Clean.fallbackClean, "Page 3 of the document about energy") == "")
+    assert(runCol(Clean.fallbackClean, "  normal text with  spaces\nand ﬁ ligature lines ") ==
+      "normal text with spaces and  ligature lines")
+    assert(runCol(Clean.fallbackClean, "42") == "")
+    assert(runCol(Clean.fallbackClean, "arXiv: 1234.5678 short") == "")
+    assert(runCol(Clean.fallbackClean, "x") == "")
+  }
+
   // C6 — enhanced_paper_analyser.py:895-916
   test("C6 trainingClean strips citations, page and figure refs") {
     val in = "Result [12] shown in Figure 3 on Page 2 of 9 holds."
