@@ -226,25 +226,52 @@ object RlBuilder {
     }
   }
 
+  /** Conservative NECESSARY literal anchors per battery pattern (every
+    * alternation branch implies all listed groups): a doc missing any
+    * group cannot match, so the expensive nested-lazy DOTALL regex is
+    * skipped — exactness-preserving (BuilderRobustnessSpec necessity
+    * test) and the at-scale fast path on anchor-free web text.
+    */
+  private[graft] val ExplicitAnchors: Seq[Seq[Seq[String]]] = Seq(
+    Seq(Seq("problem", "question", "example"), Seq("solution", "answer", "result")),
+    Seq(Seq("find", "calculate", "determine", "show", "prove"),
+      Seq("solution", "we have", "we start", "we get")))
+  private[graft] val DerivationSeqAnchors: Seq[Seq[Seq[String]]] = Seq(
+    Seq(Seq("given", "starting with", "consider"),
+      Seq("we derive", "we show", "we find"),
+      Seq("therefore", "thus", "hence")),
+    Seq(Seq("from", "using"), Seq("equation"),
+      Seq("we get", "we obtain", "this gives")))
+  private[graft] val CalculationAnchors: Seq[Seq[Seq[String]]] = Seq(
+    Seq(Seq("the value of", "we have"), Seq("="), Seq("therefore", "thus")))
+
+  private def guarded(lo: Column, anchors: Seq[Seq[String]], h: Column): Column =
+    when(anchors.map(g => containsAny(lo, g)).reduce(_ && _), h)
+      .otherwise(array().cast("array<string>"))
+
   /** _extract_actual_problem_solutions (:42-86) + the caller's caps
     * (:31-37): battery order explicit → derivation → calculation, kept
     * candidates capped at 5 then 3.
     */
-  def extractedExamples(text: Column): Column = {
-    val explicit = ExplicitPatterns.map { p =>
-      transform(zip2(hits(text, p, 1), hits(text, p, 2)),
-        z => explicitExample(z.getField("g1"), z.getField("g2")))
+  def extractedExamples(text: Column): Column =
+    graft.functions.Let(lower(text)) { lo =>
+      val explicit = ExplicitPatterns.zip(ExplicitAnchors).map { case (p, a) =>
+        transform(zip2(guarded(lo, a, hits(text, p, 1)),
+          hits(text, p, 2)),
+          z => explicitExample(z.getField("g1"), z.getField("g2")))
+      }
+      val deriv = DerivationSeqPatterns.zip(DerivationSeqAnchors).map { case (p, a) =>
+        transform(zip3(guarded(lo, a, hits(text, p, 1)),
+          hits(text, p, 2), hits(text, p, 3)),
+          z => derivationExample(z.getField("g1"), z.getField("g2"), z.getField("g3")))
+      }
+      val calc = CalculationPatterns.zip(CalculationAnchors).map { case (p, a) =>
+        transform(zip3(guarded(lo, a, hits(text, p, 1)),
+          hits(text, p, 2), hits(text, p, 3)),
+          z => calculationExample(z.getField("g1"), z.getField("g2"), z.getField("g3")))
+      }
+      slice(filter(concat(explicit ++ deriv ++ calc: _*), e => e.isNotNull), 1, 3)
     }
-    val deriv = DerivationSeqPatterns.map { p =>
-      transform(zip3(hits(text, p, 1), hits(text, p, 2), hits(text, p, 3)),
-        z => derivationExample(z.getField("g1"), z.getField("g2"), z.getField("g3")))
-    }
-    val calc = CalculationPatterns.map { p =>
-      transform(zip3(hits(text, p, 1), hits(text, p, 2), hits(text, p, 3)),
-        z => calculationExample(z.getField("g1"), z.getField("g2"), z.getField("g3")))
-    }
-    slice(filter(concat(explicit ++ deriv ++ calc: _*), e => e.isNotNull), 1, 3)
-  }
 
   // ====================================================================
   // V3 RL builder — the "FIXED" pipeline's variant
@@ -349,10 +376,19 @@ object RlBuilder {
     * the single three-group derivation pattern (gates 15/20, assembled
     * solution, quality over raw given/process+result).
     */
-  def v3ExtractedExamples(text: Column): Column = {
+  private[graft] val V3ExplicitAnchors: Seq[Seq[Seq[String]]] = Seq(
+    Seq(Seq("problem", "example", "exercise"), Seq("solution", "answer")),
+    Seq(Seq("find", "calculate", "determine"),
+      Seq("we have", "we get", "we find")))
+  private[graft] val V3DerivationAnchors: Seq[Seq[String]] = Seq(
+    Seq("starting with", "from", "given"),
+    Seq("we get", "we obtain", "this gives"), Seq("therefore", "thus"))
+
+  def v3ExtractedExamples(text: Column): Column =
+    graft.functions.Let(lower(text)) { lo =>
     val nullEx = lit(null).cast(V3ExampleStruct)
-    val explicit = V3ExplicitPatterns.map { p =>
-      transform(zip2(hits(text, p, 1), hits(text, p, 2)), z => {
+    val explicit = V3ExplicitPatterns.zip(V3ExplicitAnchors).map { case (p, a) =>
+      transform(zip2(guarded(lo, a, hits(text, p, 1)), hits(text, p, 2)), z => {
         val rawP = z.getField("g1"); val rawS = z.getField("g2")
         graft.functions.Let(v3AssessQuality(rawP, rawS)) { q =>
           when(length(trim(rawP)) > 20 && length(trim(rawS)) > 30 && q > 0.4,
@@ -365,7 +401,8 @@ object RlBuilder {
     }
     val deriv = {
       val p = V3DerivationPattern
-      transform(zip3(hits(text, p, 1), hits(text, p, 2), hits(text, p, 3)), z => {
+      transform(zip3(guarded(lo, V3DerivationAnchors, hits(text, p, 1)),
+        hits(text, p, 2), hits(text, p, 3)), z => {
         val given = z.getField("g1"); val process = z.getField("g2")
         val result = z.getField("g3")
         // quality over RAW given vs process+result concatenated (no space)
@@ -382,7 +419,7 @@ object RlBuilder {
       })
     }
     slice(filter(concat(explicit :+ deriv: _*), e => e.isNotNull), 1, 2)
-  }
+    }
 
   /** RL suitability gate v3 (:632-643): len >= 800; >= 3 of 6 indicators
     * over text[:1500].
@@ -435,8 +472,11 @@ object RlBuilder {
                          subjectCol: String, titleCol: String): DataFrame = {
     val text = col(textCol)
     // crash gate — see CalculationCrashPattern: a doc matching the buggy
-    // pattern contributes NOTHING in the reference (ValueError → except)
-    val crashes = text.rlike(CrashExistencePattern)
+    // pattern contributes NOTHING in the reference (ValueError → except).
+    // Anchor-guarded: both substrings are necessary for a match.
+    val crashes =
+      containsAny(lower(text), Seq("calculate", "computing", "to find")) &&
+        text.contains("=") && text.rlike(CrashExistencePattern)
     val withExamples = graft.functions.ComputeOnce(
       df.filter(suitableForRlTraining(text) && !crashes), "__ex",
       extractedExamples(text))

@@ -268,13 +268,41 @@ Focus particularly on the application of: """),
           "quantum", "mass", "velocity")))
   }
 
+  /** Conservative NECESSARY literal anchors per UG derivation pattern
+    * (every alternation branch requires all listed groups): a doc missing
+    * any group cannot match, so the expensive DOTALL regex is skipped —
+    * exactness-preserving (UgBuildersSpec equality test) and the at-scale
+    * fast path (most raw web docs lack the anchors entirely).
+    */
+  private[graft] val UgDerivationAnchors: Seq[Seq[Seq[String]]] = Seq(
+    Seq(Seq("given", "starting with", "consider", "let"),
+      Seq("equation", "formula", "relation"),
+      Seq("therefore", "thus", "hence", "we obtain", "solution")),
+    Seq(Seq("problem", "question"), Seq("solution", "answer"),
+      Seq("therefore", "hence", "final answer")),
+    Seq(Seq("step", "first", "initially", "next", "then")),
+    Seq(Seq("using", "applying", "from"),
+      Seq("conservation", "law", "principle", "theorem"),
+      Seq("we get", "we obtain", "this gives")),
+    Seq(Seq("equation", "relation"),
+      Seq("substituting", "rearranging", "solving"),
+      Seq("we get", "we obtain")))
+
+  private def anchoredHits(text: Column, lo: Column, pattern: String,
+                           anchors: Seq[Seq[String]]): Column =
+    when(anchors.map(g => containsAny(lo, g)).reduce(_ && _),
+      hits(text, pattern)).otherwise(array().cast("array<string>"))
+
   def ugFindCompleteDerivations(text: Column): Column =
-    slice(
-      UgDerivationPatterns.map(p =>
-        filter(transform(hits(text, p), m => Gates.derivationClean(m)),
-          m => isCompleteDerivation(m)))
-        .reduce(concat(_, _)),
-      1, 5)
+    Let(lower(text)) { lo =>
+      slice(
+        UgDerivationPatterns.zip(UgDerivationAnchors).map { case (p, a) =>
+          filter(transform(anchoredHits(text, lo, p, a),
+            m => Gates.derivationClean(m)),
+            m => isCompleteDerivation(m))
+        }.reduce(concat(_, _)),
+        1, 5)
+    }
 
   /** _extract_problem_solution_ugphysics_style (:1282-1304), repaired:
     * first re.search hit per pattern, group 1 for the two grouped

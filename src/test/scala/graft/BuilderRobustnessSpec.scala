@@ -55,6 +55,31 @@ class BuilderRobustnessSpec extends SparkTestBase {
       (train.getAs[Int]("mn") >= 2 && train.getAs[Int]("ms") <= 8))
   }
 
+  test("anchor guards are necessary conditions: match implies anchors") {
+    // over heterogeneous fixture docs: if a pattern matches, its anchor
+    // groups must all be present (otherwise the guard would change results)
+    val df = corpus.select(col("text"), lower(col("text")).as("lo")).cache()
+    def anyOf(terms: Seq[String]) =
+      terms.map(t => col("lo").contains(t)).reduce(_ || _)
+    val cases: Seq[(String, Seq[Seq[String]])] =
+      RlBuilder.ExplicitPatterns.zip(RlBuilder.ExplicitAnchors) ++
+        RlBuilder.DerivationSeqPatterns.zip(RlBuilder.DerivationSeqAnchors) ++
+        RlBuilder.CalculationPatterns.zip(RlBuilder.CalculationAnchors) ++
+        RlBuilder.V3ExplicitPatterns.zip(RlBuilder.V3ExplicitAnchors) ++
+        Seq(RlBuilder.V3DerivationPattern -> RlBuilder.V3DerivationAnchors) ++
+        UgBuilders.UgDerivationPatterns.zip(UgBuilders.UgDerivationAnchors)
+    cases.zipWithIndex.foreach { case ((p, anchors), i) =>
+      val violations = df.filter(
+        (size(regexp_extract_all(col("text"), lit(p), lit(0))) > 0) &&
+          !anchors.map(anyOf).reduce(_ && _)).count()
+      assert(violations == 0, s"pattern $i: anchors not necessary")
+    }
+    // and the crash-gate guard
+    val crashViol = df.filter(col("text").rlike(RlBuilder.CrashExistencePattern) &&
+      !(anyOf(Seq("calculate", "computing", "to find")) && col("text").contains("="))).count()
+    assert(crashViol == 0)
+  }
+
   test("Let is semantically an identity wrapper (incl. null flow)") {
     val df = (degenerate :+ null).toDF("t")
     val expr = upper(trim(col("t")))
