@@ -35,16 +35,24 @@ object RlBuilder {
     terms.map(t => when(c.contains(t), 1).otherwise(0)).reduce(_ + _)
 
   /** Positional zip of the per-group match lists (same battery → same
-    * lengths; try_element_at for ANSI safety).
+    * lengths; try_element_at for ANSI safety). The b/c sides are
+    * Let-bound OUTSIDE the transform — referenced inside the lambda they
+    * would re-run their full regex scan once per element.
     */
   private def zip2(a: Column, b: Column): Column =
-    transform(a, (x, i) => struct(x.as("g1"),
-      try_element_at(b, (i + 1).cast("int")).as("g2")))
+    graft.functions.Let(b) { bb =>
+      transform(a, (x, i) => struct(x.as("g1"),
+        try_element_at(bb, (i + 1).cast("int")).as("g2")))
+    }
 
   private def zip3(a: Column, b: Column, c: Column): Column =
-    transform(a, (x, i) => struct(x.as("g1"),
-      try_element_at(b, (i + 1).cast("int")).as("g2"),
-      try_element_at(c, (i + 1).cast("int")).as("g3")))
+    graft.functions.Let(b) { bb =>
+      graft.functions.Let(c) { cc =>
+        transform(a, (x, i) => struct(x.as("g1"),
+          try_element_at(bb, (i + 1).cast("int")).as("g2"),
+          try_element_at(cc, (i + 1).cast("int")).as("g3")))
+      }
+    }
 
   // ------------------------------------------------------------------
   // RL suitability gate (enhanced_training_builder.py:469-494): len >=
