@@ -59,6 +59,17 @@ class IvfSpec extends SparkTestBase {
     assert(recall >= 0.5, f"recall $recall%.3f too low for clustered data")
   }
 
+  test("k-means centroids are partition-invariant (N vs 4N parallelism)") {
+    // FP summation order differs across partition counts; the 1e-9
+    // centroid rounding must absorb it or the same job at N and 4N
+    // executors would disagree (the north-rule two-cluster-size run)
+    val c2 = Ivf.kmeansCentroids(corpus.repartition(2), "vec_id", "embedding",
+      k = 4, iters = 3)
+    val c8 = Ivf.kmeansCentroids(corpus.repartition(8), "vec_id", "embedding",
+      k = 4, iters = 3)
+    assert(c2.map(_.toSeq).toSeq == c8.map(_.toSeq).toSeq)
+  }
+
   test("hash-sampled training still yields k cells and sane search") {
     val queries = corpus.filter(col("vec_id") < 5)
     val out = Ivf.ivfTopK(corpus, queries, "vec_id", "embedding", k = 3,
