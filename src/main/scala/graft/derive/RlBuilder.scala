@@ -253,9 +253,28 @@ object RlBuilder {
   private[graft] val CalculationAnchors: Seq[Seq[Seq[String]]] = Seq(
     Seq(Seq("the value of", "we have"), Seq("="), Seq("therefore", "thus")))
 
-  private def guarded(lo: Column, anchors: Seq[Seq[String]], h: Column): Column =
-    when(anchors.map(g => containsAny(lo, g)).reduce(_ && _), h)
-      .otherwise(array().cast("array<string>"))
+  private def anchored(lo: Column, anchors: Seq[Seq[String]]): Column =
+    anchors.map(g => containsAny(lo, g)).reduce(_ && _)
+
+  /** Anchor guard hoisted OUTSIDE the whole zip. Wrapping only the
+    * group-1 scan is not enough: `Let`'s binding (`transform(array(v),
+    * body)`) evaluates `v` unconditionally, so zip2/zip3's group-2/3
+    * scans would still run on every anchor-free row. CaseWhen branch
+    * values are evaluated lazily per row (interpreted and codegen), so
+    * placing the `when` around the complete zip skips ALL group scans
+    * when any necessary anchor is absent — the at-scale fast path on
+    * anchor-free web text. Structure asserted by AnchorGuardSpec.
+    */
+  private def guardedZip2(lo: Column, anchors: Seq[Seq[String]],
+                          text: Column, p: String): Column =
+    when(anchored(lo, anchors), zip2(hits(text, p, 1), hits(text, p, 2)))
+      .otherwise(array().cast("array<struct<g1:string,g2:string>>"))
+
+  private def guardedZip3(lo: Column, anchors: Seq[Seq[String]],
+                          text: Column, p: String): Column =
+    when(anchored(lo, anchors),
+      zip3(hits(text, p, 1), hits(text, p, 2), hits(text, p, 3)))
+      .otherwise(array().cast("array<struct<g1:string,g2:string,g3:string>>"))
 
   /** _extract_actual_problem_solutions (:42-86) + the caller's caps
     * (:31-37): battery order explicit → derivation → calculation, kept
@@ -264,18 +283,15 @@ object RlBuilder {
   def extractedExamples(text: Column): Column =
     graft.functions.Let(lower(text)) { lo =>
       val explicit = ExplicitPatterns.zip(ExplicitAnchors).map { case (p, a) =>
-        transform(zip2(guarded(lo, a, hits(text, p, 1)),
-          hits(text, p, 2)),
+        transform(guardedZip2(lo, a, text, p),
           z => explicitExample(z.getField("g1"), z.getField("g2")))
       }
       val deriv = DerivationSeqPatterns.zip(DerivationSeqAnchors).map { case (p, a) =>
-        transform(zip3(guarded(lo, a, hits(text, p, 1)),
-          hits(text, p, 2), hits(text, p, 3)),
+        transform(guardedZip3(lo, a, text, p),
           z => derivationExample(z.getField("g1"), z.getField("g2"), z.getField("g3")))
       }
       val calc = CalculationPatterns.zip(CalculationAnchors).map { case (p, a) =>
-        transform(zip3(guarded(lo, a, hits(text, p, 1)),
-          hits(text, p, 2), hits(text, p, 3)),
+        transform(guardedZip3(lo, a, text, p),
           z => calculationExample(z.getField("g1"), z.getField("g2"), z.getField("g3")))
       }
       slice(filter(concat(explicit ++ deriv ++ calc: _*), e => e.isNotNull), 1, 3)
@@ -396,7 +412,7 @@ object RlBuilder {
     graft.functions.Let(lower(text)) { lo =>
     val nullEx = lit(null).cast(V3ExampleStruct)
     val explicit = V3ExplicitPatterns.zip(V3ExplicitAnchors).map { case (p, a) =>
-      transform(zip2(guarded(lo, a, hits(text, p, 1)), hits(text, p, 2)), z => {
+      transform(guardedZip2(lo, a, text, p), z => {
         val rawP = z.getField("g1"); val rawS = z.getField("g2")
         graft.functions.Let(v3AssessQuality(rawP, rawS)) { q =>
           when(length(trim(rawP)) > 20 && length(trim(rawS)) > 30 && q > 0.4,
@@ -409,8 +425,7 @@ object RlBuilder {
     }
     val deriv = {
       val p = V3DerivationPattern
-      transform(zip3(guarded(lo, V3DerivationAnchors, hits(text, p, 1)),
-        hits(text, p, 2), hits(text, p, 3)), z => {
+      transform(guardedZip3(lo, V3DerivationAnchors, text, p), z => {
         val given = z.getField("g1"); val process = z.getField("g2")
         val result = z.getField("g3")
         // quality over RAW given vs process+result concatenated (no space)

@@ -87,15 +87,49 @@ object UgBuilders {
     "(?si)(?:Problem|Example|Exercise)\\s*:?.*?(?:Solution|Answer).*?(?:\n\n|\\z)",
     "(?si)(?:Find|Calculate|Determine|Show).*?(?:Given|where).*?(?:Solution|Answer|Therefore).*?")
 
-  private def batteryStripped(text: Column, patterns: Seq[String],
-                              minLen: Int): Column =
-    patterns.map(p =>
-      filter(transform(hits(text, p), m => trim(m)), m => length(m) > minLen))
-      .reduce(concat(_, _))
+  /** Conservative NECESSARY literal anchors per battery pattern (every
+    * alternation branch implies all listed groups), so anchor-free docs
+    * skip the nested-lazy DOTALL scans entirely — exactness-preserving
+    * (BuilderRobustnessSpec) and asserted structurally by
+    * AnchorGuardSpec. Equation patterns are case-SENSITIVE `(?s)` →
+    * their anchors test the RAW text; derivation/problem patterns are
+    * `(?si)` → anchors test the lowered text.
+    */
+  private[graft] val UgEqAnchors: Seq[Seq[Seq[String]]] = Seq(
+    Seq(Seq("$$")),
+    Seq(Seq("$")),
+    Seq(Seq("\\begin{equation}")),
+    Seq(Seq("=")),
+    Seq(Seq("∇", "∂"), Seq("=")))
+  private[graft] val UgDerivAnchors: Seq[Seq[Seq[String]]] = Seq(
+    Seq(Seq("derivation", "proof", "to show", "to derive"),
+      Seq("q.e.d.", "therefore", "thus")),
+    Seq(Seq("starting with", "from", "given"), Seq("equation", "relation"),
+      Seq("we get", "we obtain")))
+  private[graft] val UgProblemAnchors: Seq[Seq[Seq[String]]] = Seq(
+    Seq(Seq("problem", "example", "exercise"), Seq("solution", "answer")),
+    Seq(Seq("find", "calculate", "determine", "show"), Seq("given", "where"),
+      Seq("solution", "answer", "therefore")))
 
-  def ugEquations(text: Column): Column = batteryStripped(text, UgEqPatterns, 5)
-  def ugDerivations(text: Column): Column = batteryStripped(text, UgDerivPatterns, 50)
-  def ugProblemSolutions(text: Column): Column = batteryStripped(text, UgProblemPatterns, 100)
+  private def batteryStripped(text: Column, guard: Column,
+                              patterns: Seq[String],
+                              anchors: Seq[Seq[Seq[String]]],
+                              minLen: Int): Column =
+    patterns.zip(anchors).map { case (p, a) =>
+      filter(transform(anchoredHits(text, guard, p, a), m => trim(m)),
+        m => length(m) > minLen)
+    }.reduce(concat(_, _))
+
+  def ugEquations(text: Column): Column =
+    batteryStripped(text, text, UgEqPatterns, UgEqAnchors, 5)
+  def ugDerivations(text: Column): Column =
+    Let(lower(text)) { lo =>
+      batteryStripped(text, lo, UgDerivPatterns, UgDerivAnchors, 50)
+    }
+  def ugProblemSolutions(text: Column): Column =
+    Let(lower(text)) { lo =>
+      batteryStripped(text, lo, UgProblemPatterns, UgProblemAnchors, 100)
+    }
 
   /** The four UGPhysics question builders (:379-612) as (qtype, question)
     * structs (null when a builder declines). Templates are verbatim.

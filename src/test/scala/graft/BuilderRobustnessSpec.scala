@@ -67,12 +67,24 @@ class BuilderRobustnessSpec extends SparkTestBase {
         RlBuilder.CalculationPatterns.zip(RlBuilder.CalculationAnchors) ++
         RlBuilder.V3ExplicitPatterns.zip(RlBuilder.V3ExplicitAnchors) ++
         Seq(RlBuilder.V3DerivationPattern -> RlBuilder.V3DerivationAnchors) ++
-        UgBuilders.UgDerivationPatterns.zip(UgBuilders.UgDerivationAnchors)
+        UgBuilders.UgDerivationPatterns.zip(UgBuilders.UgDerivationAnchors) ++
+        UgBuilders.UgDerivPatterns.zip(UgBuilders.UgDerivAnchors) ++
+        UgBuilders.UgProblemPatterns.zip(UgBuilders.UgProblemAnchors)
     cases.zipWithIndex.foreach { case ((p, anchors), i) =>
       val violations = df.filter(
         (size(regexp_extract_all(col("text"), lit(p), lit(0))) > 0) &&
           !anchors.map(anyOf).reduce(_ && _)).count()
       assert(violations == 0, s"pattern $i: anchors not necessary")
+    }
+    // equation anchors are case-sensitive: test against the RAW text
+    def anyOfRaw(terms: Seq[String]) =
+      terms.map(t => col("text").contains(t)).reduce(_ || _)
+    UgBuilders.UgEqPatterns.zip(UgBuilders.UgEqAnchors).zipWithIndex.foreach {
+      case ((p, anchors), i) =>
+        val violations = df.filter(
+          (size(regexp_extract_all(col("text"), lit(p), lit(0))) > 0) &&
+            !anchors.map(anyOfRaw).reduce(_ && _)).count()
+        assert(violations == 0, s"eq pattern $i: anchors not necessary")
     }
     // and the crash-gate guard
     val crashViol = df.filter(col("text").rlike(RlBuilder.CrashExistencePattern) &&
