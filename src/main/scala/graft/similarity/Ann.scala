@@ -46,14 +46,23 @@ object Ann {
     * Output identical to the window form (AnnSpec equality test).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int): DataFrame = {
+                     idCol: String, vecCol: String, k: Int): DataFrame =
+    topKByQuery(bruteForceScored(corpus, queries, idCol, vecCol), k)
+
+  /** Per-query top-k over a scored (query_id, neighbor_id, cos) frame via
+    * the partial TopKPairsAgg: each map task pre-reduces its partition to
+    * <= k pairs per query BEFORE the shuffle, so the exchange carries
+    * O(|queries| × k × partitions) rows — never the full candidate set a
+    * row_number window would shuffle. Shared by the brute-force, LSH and
+    * IVF rankers (identical output proven against the window forms).
+    */
+  private[similarity] def topKByQuery(scored: DataFrame, k: Int): DataFrame = {
     val agg = org.apache.spark.sql.GraftColumnBridge.column(
       TopKPairsAgg(
         org.apache.spark.sql.GraftColumnBridge.expression(col("cos")),
         org.apache.spark.sql.GraftColumnBridge.expression(col("neighbor_id").cast("long")),
         k).toAggregateExpression())
-    bruteForceScored(corpus, queries, idCol, vecCol)
-      .groupBy("query_id").agg(agg.as("top"))
+    scored.groupBy("query_id").agg(agg.as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("query_id"), col("p.neighbor_id").as("neighbor_id"),
         col("p.cos").as("cos"), (col("pos") + 1).cast("int").as("rk"))
@@ -130,23 +139,39 @@ object Ann {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 8,
-              dim: Int = 64, numTables: Int = 1): DataFrame = {
+              dim: Int = 64, numTables: Int = 1): DataFrame =
+    topKByQuery(lshScored(corpus, queries, idCol, vecCol, numPlanes, dim,
+      numTables), k)
+
+  /** The window reference form (kept for the equality test). */
+  def lshTopKWindow(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, numPlanes: Int = 8,
+                    dim: Int = 64, numTables: Int = 1): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    lshScored(corpus, queries, idCol, vecCol, numPlanes, dim, numTables)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "cos", "rk")
+  }
+
+  private def lshScored(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, numPlanes: Int, dim: Int,
+                        numTables: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("tb", explode(tableBuckets(col("qv"), numPlanes, dim, numTables)))
       .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .withColumn("tb", explode(tableBuckets(col("cv"), numPlanes, dim, numTables)))
       .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
-    val scored = c.join(broadcast(q), Seq("tb"))
+    val joined = c.join(broadcast(q), Seq("tb"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      // a pair colliding in several tables is ONE candidate
-      .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos",
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select("query_id", "neighbor_id", "cos", "rk")
+    // a pair colliding in several tables is ONE candidate; with a single
+    // table a pair cannot collide twice, so the dedup shuffle is skipped
+    val uniq =
+      if (numTables > 1) joined.dropDuplicates("query_id", "neighbor_id")
+      else joined
+    uniq.withColumn("cos",
+      round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup flavor): all pairs in
@@ -181,11 +206,14 @@ object Ann {
       .drop("rnk")
     val a = capped.select(col("tb"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
     val b = capped.select(col("tb"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    a.join(b, Seq("tb"))
+    val pairs = a.join(b, Seq("tb"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos").distinct()
+      .select("id_a", "id_b", "cos")
+    // a pair can only repeat by colliding in several tables; with one
+    // table the distinct would be a pure extra shuffle over all pairs
+    if (numTables > 1) pairs.distinct() else pairs
   }
 }

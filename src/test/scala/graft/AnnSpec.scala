@@ -88,6 +88,20 @@ class AnnSpec extends SparkTestBase {
     assert(repart == win)
   }
 
+  test("LSH partial top-k equals the window reference form exactly") {
+    val queries = corpus.filter(col("vec_id") < 25)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSet
+    for (tables <- Seq(1, 3)) {
+      val agg = rows(Ann.lshTopK(corpus, queries, "vec_id", "embedding", 4,
+        numPlanes = 4, dim = 16, numTables = tables))
+      val win = rows(Ann.lshTopKWindow(corpus, queries, "vec_id", "embedding", 4,
+        numPlanes = 4, dim = 16, numTables = tables))
+      assert(agg == win, s"numTables=$tables")
+    }
+  }
+
   test("cosine near-dup pairs finds a planted duplicate embedding") {
     val dup = Seq((500L, vec(7).map(v => v * 1.001f))).toDF("vec_id", "embedding")
     val pairs = Ann.cosineNearDupPairs(corpus.union(dup), "vec_id", "embedding",

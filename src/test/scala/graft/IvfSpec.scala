@@ -70,6 +70,26 @@ class IvfSpec extends SparkTestBase {
     assert(c2.map(_.toSeq).toSeq == c8.map(_.toSeq).toSeq)
   }
 
+  test("auto sampling bounds the Lloyd training input by default") {
+    // the modulus math: sample stays <= ~maxTrainSample in expectation
+    assert(Ivf.trainingSampleMod(100L, 256 * 1024L) == 1)
+    assert(Ivf.trainingSampleMod(256 * 1024L, 256 * 1024L) == 1)
+    assert(Ivf.trainingSampleMod(256 * 1024L + 1, 256 * 1024L) == 2)
+    assert(Ivf.trainingSampleMod(100L * 1000 * 1000 * 1000, 256 * 1024L) == 381470)
+    // the auto path (sampleMod = 0) derives exactly that modulus: on this
+    // 200-row corpus with a 64-vector ceiling it must equal an explicit
+    // sampleMod = 4 run (ceil(200/64)), not the full-corpus run
+    val auto = Ivf.kmeansCentroids(corpus, "vec_id", "embedding", k = 4,
+      iters = 2, sampleMod = 0, maxTrainSample = 64L)
+    val explicit = Ivf.kmeansCentroids(corpus, "vec_id", "embedding", k = 4,
+      iters = 2, sampleMod = 4)
+    assert(auto.map(_.toSeq).toSeq == explicit.map(_.toSeq).toSeq)
+    val full = Ivf.kmeansCentroids(corpus, "vec_id", "embedding", k = 4,
+      iters = 2, sampleMod = 1)
+    assert(auto.map(_.toSeq).toSeq != full.map(_.toSeq).toSeq,
+      "auto sampling should not have trained on the full corpus")
+  }
+
   test("hash-sampled training still yields k cells and sane search") {
     val queries = corpus.filter(col("vec_id") < 5)
     val out = Ivf.ivfTopK(corpus, queries, "vec_id", "embedding", k = 3,
