@@ -381,6 +381,50 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // ---- q43/q44/q46's oracle-checkable layers: the RL/UG suitability
+    // gates, the crash gate, and per-battery MATCH EXISTENCE. Spark
+    // evaluates the REAL lookahead patterns (rlike, Java regex); the
+    // DuckDB oracle recomputes the gates from their term definitions and
+    // the existence flags from the RE2-safe rewrites
+    // (RlBuilder.*Existence / UgBuilders.UgDerivationExistence, proven
+    // equivalent by ExistenceParitySpec). The full extraction output
+    // stays rows-only (lookahead capture groups aren't RE2-expressible);
+    // these rows pin every gate and every battery's firing set. ----
+    "q47_rl_v2_gates" -> ((s, dir) => {
+      import graft.derive.RlBuilder
+      val corpus = s.read.parquet(graft.fixtures.SynthCorpus.materializedCorpus(s))
+      val text = col("text")
+      val pats = RlBuilder.ExplicitPatterns ++
+        RlBuilder.DerivationSeqPatterns ++ RlBuilder.CalculationPatterns
+      corpus.select(col("url") +:
+        RlBuilder.suitableForRlTraining(text).as("suitable") +:
+        RlBuilder.crashGate(text).as("crash") +:
+        pats.zipWithIndex.map { case (p, i) => text.rlike(p).as(s"m$i") }: _*)
+        .orderBy("url")
+    }),
+
+    "q48_rl_v3_gates" -> ((s, dir) => {
+      import graft.derive.RlBuilder
+      val corpus = s.read.parquet(graft.fixtures.SynthCorpus.materializedCorpus(s))
+      val text = col("text")
+      val pats = RlBuilder.V3ExplicitPatterns :+ RlBuilder.V3DerivationPattern
+      corpus.select(col("url") +:
+        RlBuilder.suitableForRlTrainingV3(text).as("suitable") +:
+        pats.zipWithIndex.map { case (p, i) => text.rlike(p).as(s"m$i") }: _*)
+        .orderBy("url")
+    }),
+
+    "q49_ug_deriv_gates" -> ((s, dir) => {
+      import graft.derive.UgBuilders
+      val corpus = s.read.parquet(graft.fixtures.SynthCorpus.materializedCorpus(s))
+      val text = col("text")
+      corpus.select(col("url") +:
+        UgBuilders.suitableForUgBenchmark(text, col("url")).as("suitable") +:
+        UgBuilders.UgDerivationPatterns.zipWithIndex.map { case (p, i) =>
+          text.rlike(p).as(s"m$i") }: _*)
+        .orderBy("url")
+    }),
+
     // ---- training gate + E13 block-battery counts: the oracle-checkable
     // layer of the q30 derive path (DuckDB recomputes the suitability gate
     // and all 14 battery patterns with their length windows and term
@@ -718,6 +762,82 @@ object SparkEntry {
 
       // q38 oracle: suitability gate + the E13 batteries recomputed in SQL
       // (patterns/windows/term-filters are shared constants, RE2-safe)
+      // q47/q48/q49: gate + battery-existence oracles for the RL/UG
+      // training chains. DuckDB recomputes the gates from term counts and
+      // the battery firing flags from the RE2-safe existence rewrites —
+      // the Spark side ran the REAL lookahead patterns, so a green row
+      // proves the rewrite equivalence holds on real data too.
+      "q47_rl_v2_gates" -> {
+        import graft.derive.RlBuilder
+        val corpusGlob = new java.io.File(
+          "target/graft_fixture/corpus_400").getAbsolutePath + "/*.parquet"
+        def pat(p: String) =
+          "'" + p.replace("'", "''").replace("\n", "\\n") + "'"
+        def cnt(terms: Seq[String], over: String) = terms
+          .map(w => s"(CASE WHEN contains($over, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val sample = "substr(lower(text), 1, 2000)"
+        val probs = cnt(RlBuilder.RlProblemIndicators, sample)
+        val reas = cnt(RlBuilder.RlReasoningIndicators, sample)
+        val phys = cnt(RlBuilder.RlPhysicsTerms, sample)
+        val ex = (RlBuilder.ExplicitExistence ++
+          RlBuilder.DerivationSeqExistence ++ RlBuilder.CalculationExistence)
+          .zipWithIndex
+          .map { case (p, i) => s"regexp_matches(text, ${pat(p)}) AS m$i" }
+          .mkString(",\n  ")
+        val crashAnchor = Seq("calculate", "computing", "to find")
+          .map(w => s"contains(lower(text), '$w')").mkString("(", " OR ", ")")
+        s"""SELECT url,
+           |  (length(trim(text)) >= 1000 AND ($probs) >= 2
+           |   AND ($reas) >= 3 AND ($phys) >= 2) AS suitable,
+           |  ($crashAnchor AND contains(text, '=')
+           |   AND regexp_matches(text, ${pat(RlBuilder.CrashExistencePattern)})) AS crash,
+           |  $ex
+           |FROM read_parquet('$corpusGlob') ORDER BY url""".stripMargin
+      },
+
+      "q48_rl_v3_gates" -> {
+        import graft.derive.RlBuilder
+        val corpusGlob = new java.io.File(
+          "target/graft_fixture/corpus_400").getAbsolutePath + "/*.parquet"
+        def pat(p: String) =
+          "'" + p.replace("'", "''").replace("\n", "\\n") + "'"
+        def cnt(terms: Seq[String], over: String) = terms
+          .map(w => s"(CASE WHEN contains($over, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val gate = cnt(RlBuilder.V3GateIndicators, "substr(lower(text), 1, 1500)")
+        val ex = (RlBuilder.V3ExplicitExistence ++ RlBuilder.V3DerivationExistence)
+          .zipWithIndex
+          .map { case (p, i) => s"regexp_matches(text, ${pat(p)}) AS m$i" }
+          .mkString(",\n  ")
+        s"""SELECT url,
+           |  (length(trim(text)) >= 800 AND ($gate) >= 3) AS suitable,
+           |  $ex
+           |FROM read_parquet('$corpusGlob') ORDER BY url""".stripMargin
+      },
+
+      "q49_ug_deriv_gates" -> {
+        import graft.derive.UgBuilders
+        val corpusGlob = new java.io.File(
+          "target/graft_fixture/corpus_400").getAbsolutePath + "/*.parquet"
+        def pat(p: String) =
+          "'" + p.replace("'", "''").replace("\n", "\\n") + "'"
+        def cnt(terms: Seq[String], over: String) = terms
+          .map(w => s"(CASE WHEN contains($over, '$w') THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val sample = "substr(lower(text), 1, 2000)"
+        val gate = s"(${cnt(UgBuilders.UgPhysicsIndicators, sample)} + " +
+          s"${cnt(UgBuilders.UgMathIndicators, sample)})"
+        val ex = UgBuilders.UgDerivationExistence.zipWithIndex
+          .map { case (p, i) => s"regexp_matches(text, ${pat(p)}) AS m$i" }
+          .mkString(",\n  ")
+        s"""SELECT url,
+           |  (length(trim(text)) >= 500 AND $gate >=
+           |   (CASE WHEN contains(lower(url), 'vixra') THEN 2 ELSE 3 END)) AS suitable,
+           |  $ex
+           |FROM read_parquet('$corpusGlob') ORDER BY url""".stripMargin
+      },
+
       "q38_training_gate" -> {
         import graft.derive.{Derive, Extract}
         val corpusGlob = new java.io.File(

@@ -116,6 +116,41 @@ object RlBuilder {
     "(?si)(?:The value of|We have)\\s+([^=]*=\\s*[^.\\n]*)\\s*(.*?)(?:Therefore|Thus)\\s*(.*?)(?=\n\n|\\z)")
 
   // ------------------------------------------------------------------
+  // RE2-safe EXISTENCE equivalents of the battery patterns, for the
+  // DuckDB oracle layer (the originals' lookaheads are outside RE2).
+  // Reasoning, per pattern: the trailing `(?=...|\z)` lookahead is always
+  // satisfiable (the preceding lazy `(.*?)` can extend to end-of-text
+  // where \z holds), and every interior `\s*:?\s*` / `(.*?)` matches the
+  // empty string, so a match EXISTS iff the mandatory literal/class runs
+  // appear in order with their required adjacencies (`\s+X` → `\sX`,
+  // `(?:\.|\n)\s*Y` kept verbatim). Lazy-vs-greedy cannot change
+  // existence. Equivalence is machine-checked over the fixture +
+  // degenerate corpus by ExistenceParitySpec.
+  // ------------------------------------------------------------------
+  /** The crash gate as used by rlTrainingExamples: a doc matching the
+    * reference's buggy calculation pattern contributes NOTHING (its
+    * ValueError discards the whole document's RL examples). Anchor
+    * contains-checks first, then the backtracking-safe existence form.
+    */
+  def crashGate(text: Column): Column =
+    containsAny(lower(text), Seq("calculate", "computing", "to find")) &&
+      text.contains("=") && text.rlike(CrashExistencePattern)
+
+  val ExplicitExistence: Seq[String] = Seq(
+    "(?si)(?:Problem|Question|Example).*(?:Solution|Answer|Result)",
+    "(?si)(?:Find|Calculate|Determine|Show|Prove)\\s.*(?:\\.|\n)\\s*(?:Solution|We have|We start|We get)")
+  val DerivationSeqExistence: Seq[String] = Seq(
+    "(?si)(?:Given|Starting with|Consider)\\s.*(?:\\.|\n)\\s*(?:We derive|We show|We find)\\s.*(?:Therefore|Thus|Hence)\\s",
+    "(?si)(?:From|Using)\\s[^.]*equation[^.]*(?:\\.|\n).*(?:we get|we obtain|this gives)\\s")
+  val CalculationExistence: Seq[String] = Seq(
+    "(?si)(?:The value of|We have)\\s[^=]*=.*(?:Therefore|Thus)")
+  val V3ExplicitExistence: Seq[String] = Seq(
+    "(?si)(?:Problem|Example|Exercise).*(?:Solution|Answer)",
+    "(?si)(?:Find|Calculate|Determine)\\s.*(?:\\.|\n)\\s*(?:We have|We get|We find)")
+  val V3DerivationExistence: Seq[String] = Seq(
+    "(?si)(?:Starting with|From|Given)\\s.*(?:we get|we obtain|this gives)\\s.*(?:Therefore|Thus)\\s")
+
+  // ------------------------------------------------------------------
   // _parse_derivation_steps (:232-265): '='/arrow fragments filtered by
   // length>10 + meaningful (P8), '.'-suffixed; result appended as a
   // "Therefore:" step unless already contained in a step. Fallback:
@@ -447,11 +482,13 @@ object RlBuilder {
   /** RL suitability gate v3 (:632-643): len >= 800; >= 3 of 6 indicators
     * over text[:1500].
     */
+  val V3GateIndicators: Seq[String] = Seq("problem", "solution", "example",
+    "calculate", "find", "derive")
+
   def suitableForRlTrainingV3(text: Column): Column = {
     val sample = lower(substring(text, 1, 1500))
     (length(trim(coalesce(text, lit("")))) >= 800) &&
-      (cnt(sample, Seq("problem", "solution", "example", "calculate",
-        "find", "derive")) >= 3)
+      (cnt(sample, V3GateIndicators) >= 3)
   }
 
   /** V3 assembly (:446-461, :508-533): cap 2, rl_v3.0 format, standards =
@@ -497,11 +534,8 @@ object RlBuilder {
     // crash gate — see CalculationCrashPattern: a doc matching the buggy
     // pattern contributes NOTHING in the reference (ValueError → except).
     // Anchor-guarded: both substrings are necessary for a match.
-    val crashes =
-      containsAny(lower(text), Seq("calculate", "computing", "to find")) &&
-        text.contains("=") && text.rlike(CrashExistencePattern)
     val withExamples = graft.functions.ComputeOnce(
-      df.filter(suitableForRlTraining(text) && !crashes), "__ex",
+      df.filter(suitableForRlTraining(text) && !crashGate(text)), "__ex",
       extractedExamples(text))
       .filter(size(col("__ex")) > 0)
       .select(col(urlCol).as("url"), col(subjectCol).as("subject"),

@@ -286,6 +286,20 @@ Focus particularly on the application of: """),
     "(?si)(?:Using|Applying|From)\\s+(?:conservation|law|principle|theorem)\\s+of\\s+\\w+.*?(?:\n.*?)*?(?:we get|we obtain|this gives)\\s*:?\\s*.*?(?=\n\n|\\z)",
     "(?si)(?:From\\s+)?(?:equation|relation)\\s*\\(\\d+\\).*?(?:\n.*?)*?(?:substituting|rearranging|solving).*?(?:\n.*?)*?(?:we get|we obtain)\\s*:?\\s*.*?(?=\n\n|\\z)")
 
+  /** RE2-safe EXISTENCE equivalents of UgDerivationPatterns for the
+    * DuckDB oracle layer (same reasoning as RlBuilder's existence forms:
+    * the trailing `(?=\n\n|\z)` is always satisfiable via \z, interior
+    * lazy runs and `\s*:?\s*` match empty, so existence reduces to the
+    * mandatory runs in order with their adjacencies kept). Equivalence is
+    * machine-checked by ExistenceParitySpec.
+    */
+  private[graft] val UgDerivationExistence = Seq(
+    "(?si)(?:Given|Starting with|Consider|Let)\\s.*(?:equation|formula|relation).*(?:Therefore|Thus|Hence|We obtain|Solution)",
+    "(?si)(?:Problem|Question).*(?:Solution|Answer).*(?:Therefore|Hence|Final answer)",
+    "(?si)(?:Step\\s+\\d+|First|Initially|Next|Then)",
+    "(?si)(?:Using|Applying|From)\\s+(?:conservation|law|principle|theorem)\\s+of\\s+\\w.*(?:we get|we obtain|this gives)",
+    "(?si)(?:equation|relation)\\s*\\(\\d+\\).*(?:substituting|rearranging|solving).*(?:we get|we obtain)")
+
   /** _is_complete_derivation (:1195-1221): len >= 100, a starter AND a
     * conclusion marker, and math-or-physics content.
     */
