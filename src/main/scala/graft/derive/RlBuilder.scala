@@ -288,9 +288,6 @@ object RlBuilder {
   private[graft] val CalculationAnchors: Seq[Seq[Seq[String]]] = Seq(
     Seq(Seq("the value of", "we have"), Seq("="), Seq("therefore", "thus")))
 
-  private def anchored(lo: Column, anchors: Seq[Seq[String]]): Column =
-    anchors.map(g => containsAny(lo, g)).reduce(_ && _)
-
   /** Anchor guard hoisted OUTSIDE the whole zip. Wrapping only the
     * group-1 scan is not enough: `Let`'s binding (`transform(array(v),
     * body)`) evaluates `v` unconditionally, so zip2/zip3's group-2/3
@@ -299,34 +296,44 @@ object RlBuilder {
     * placing the `when` around the complete zip skips ALL group scans
     * when any necessary anchor is absent — the at-scale fast path on
     * anchor-free web text. Structure asserted by AnchorGuardSpec.
+    *
+    * The guard itself is a bit test against a Let-bound
+    * MultiContainsMaskExpr — ONE pass over the document finds every
+    * anchor term, replacing the 30+ per-term contains scans that
+    * dominated anchor-free rows once the batteries were skipped.
     */
-  private def guardedZip2(lo: Column, anchors: Seq[Seq[String]],
-                          text: Column, p: String): Column =
-    when(anchored(lo, anchors), zip2(hits(text, p, 1), hits(text, p, 2)))
+  private def guardedZip2(guard: Column, text: Column, p: String): Column =
+    when(guard, zip2(hits(text, p, 1), hits(text, p, 2)))
       .otherwise(array().cast("array<struct<g1:string,g2:string>>"))
 
-  private def guardedZip3(lo: Column, anchors: Seq[Seq[String]],
-                          text: Column, p: String): Column =
-    when(anchored(lo, anchors),
+  private def guardedZip3(guard: Column, text: Column, p: String): Column =
+    when(guard,
       zip3(hits(text, p, 1), hits(text, p, 2), hits(text, p, 3)))
       .otherwise(array().cast("array<struct<g1:string,g2:string,g3:string>>"))
+
+  private[graft] val V2AnchorTerms: Seq[String] =
+    (ExplicitAnchors ++ DerivationSeqAnchors ++ CalculationAnchors)
+      .flatten.flatten.distinct
 
   /** _extract_actual_problem_solutions (:42-86) + the caller's caps
     * (:31-37): battery order explicit → derivation → calculation, kept
     * candidates capped at 5 then 3.
     */
   def extractedExamples(text: Column): Column =
-    graft.functions.Let(lower(text)) { lo =>
+    graft.functions.Let(
+      graft.functions.MultiContainsMask(text, V2AnchorTerms)) { bits =>
+      def guard(a: Seq[Seq[String]]) =
+        graft.functions.MultiContainsMask.allGroups(bits, V2AnchorTerms, a)
       val explicit = ExplicitPatterns.zip(ExplicitAnchors).map { case (p, a) =>
-        transform(guardedZip2(lo, a, text, p),
+        transform(guardedZip2(guard(a), text, p),
           z => explicitExample(z.getField("g1"), z.getField("g2")))
       }
       val deriv = DerivationSeqPatterns.zip(DerivationSeqAnchors).map { case (p, a) =>
-        transform(guardedZip3(lo, a, text, p),
+        transform(guardedZip3(guard(a), text, p),
           z => derivationExample(z.getField("g1"), z.getField("g2"), z.getField("g3")))
       }
       val calc = CalculationPatterns.zip(CalculationAnchors).map { case (p, a) =>
-        transform(guardedZip3(lo, a, text, p),
+        transform(guardedZip3(guard(a), text, p),
           z => calculationExample(z.getField("g1"), z.getField("g2"), z.getField("g3")))
       }
       slice(filter(concat(explicit ++ deriv ++ calc: _*), e => e.isNotNull), 1, 3)
@@ -443,11 +450,17 @@ object RlBuilder {
     Seq("starting with", "from", "given"),
     Seq("we get", "we obtain", "this gives"), Seq("therefore", "thus"))
 
+  private[graft] val V3AnchorTerms: Seq[String] =
+    (V3ExplicitAnchors.flatten ++ V3DerivationAnchors).flatten.distinct
+
   def v3ExtractedExamples(text: Column): Column =
-    graft.functions.Let(lower(text)) { lo =>
+    graft.functions.Let(
+      graft.functions.MultiContainsMask(text, V3AnchorTerms)) { bits =>
+    def guard(a: Seq[Seq[String]]) =
+      graft.functions.MultiContainsMask.allGroups(bits, V3AnchorTerms, a)
     val nullEx = lit(null).cast(V3ExampleStruct)
     val explicit = V3ExplicitPatterns.zip(V3ExplicitAnchors).map { case (p, a) =>
-      transform(guardedZip2(lo, a, text, p), z => {
+      transform(guardedZip2(guard(a), text, p), z => {
         val rawP = z.getField("g1"); val rawS = z.getField("g2")
         graft.functions.Let(v3AssessQuality(rawP, rawS)) { q =>
           when(length(trim(rawP)) > 20 && length(trim(rawS)) > 30 && q > 0.4,
@@ -460,7 +473,7 @@ object RlBuilder {
     }
     val deriv = {
       val p = V3DerivationPattern
-      transform(guardedZip3(lo, V3DerivationAnchors, text, p), z => {
+      transform(guardedZip3(guard(V3DerivationAnchors), text, p), z => {
         val given = z.getField("g1"); val process = z.getField("g2")
         val result = z.getField("g3")
         // quality over RAW given vs process+result concatenated (no space)

@@ -111,25 +111,42 @@ object UgBuilders {
     Seq(Seq("find", "calculate", "determine", "show"), Seq("given", "where"),
       Seq("solution", "answer", "therefore")))
 
-  private def batteryStripped(text: Column, guard: Column,
+  /** All word-anchor terms of the UG batteries, for the single-pass
+    * MultiContainsMaskExpr guard (lazy: UgDerivationAnchors is declared
+    * further down the object). The equation battery keeps plain raw-text
+    * contains guards — its anchors are single symbols ($, =, ∇) where a
+    * per-term scan is already one pass.
+    */
+  private[graft] lazy val UgWordAnchorTerms: Seq[String] =
+    (UgDerivAnchors ++ UgProblemAnchors ++ UgDerivationAnchors)
+      .flatten.flatten.distinct
+
+  private def batteryStripped(text: Column,
+                              guardFor: Seq[Seq[String]] => Column,
                               patterns: Seq[String],
                               anchors: Seq[Seq[Seq[String]]],
                               minLen: Int): Column =
     patterns.zip(anchors).map { case (p, a) =>
-      filter(transform(anchoredHits(text, guard, p, a), m => trim(m)),
+      filter(transform(anchoredHits(guardFor(a), text, p), m => trim(m)),
         m => length(m) > minLen)
     }.reduce(concat(_, _))
 
+  private def wordGuarded(text: Column)(body: (Seq[Seq[String]] => Column) => Column): Column =
+    Let(graft.functions.MultiContainsMask(text, UgWordAnchorTerms)) { bits =>
+      body(a => graft.functions.MultiContainsMask
+        .allGroups(bits, UgWordAnchorTerms, a))
+    }
+
   def ugEquations(text: Column): Column =
-    batteryStripped(text, text, UgEqPatterns, UgEqAnchors, 5)
+    batteryStripped(text,
+      a => a.map(g => containsAny(text, g)).reduce(_ && _),
+      UgEqPatterns, UgEqAnchors, 5)
   def ugDerivations(text: Column): Column =
-    Let(lower(text)) { lo =>
-      batteryStripped(text, lo, UgDerivPatterns, UgDerivAnchors, 50)
-    }
+    wordGuarded(text)(g =>
+      batteryStripped(text, g, UgDerivPatterns, UgDerivAnchors, 50))
   def ugProblemSolutions(text: Column): Column =
-    Let(lower(text)) { lo =>
-      batteryStripped(text, lo, UgProblemPatterns, UgProblemAnchors, 100)
-    }
+    wordGuarded(text)(g =>
+      batteryStripped(text, g, UgProblemPatterns, UgProblemAnchors, 100))
 
   /** The four UGPhysics question builders (:379-612) as (qtype, question)
     * structs (null when a builder declines). Templates are verbatim.
@@ -336,16 +353,15 @@ Focus particularly on the application of: """),
       Seq("substituting", "rearranging", "solving"),
       Seq("we get", "we obtain")))
 
-  private def anchoredHits(text: Column, lo: Column, pattern: String,
-                           anchors: Seq[Seq[String]]): Column =
-    when(anchors.map(g => containsAny(lo, g)).reduce(_ && _),
-      hits(text, pattern)).otherwise(array().cast("array<string>"))
+  private def anchoredHits(guard: Column, text: Column,
+                           pattern: String): Column =
+    when(guard, hits(text, pattern)).otherwise(array().cast("array<string>"))
 
   def ugFindCompleteDerivations(text: Column): Column =
-    Let(lower(text)) { lo =>
+    wordGuarded(text) { g =>
       slice(
         UgDerivationPatterns.zip(UgDerivationAnchors).map { case (p, a) =>
-          filter(transform(anchoredHits(text, lo, p, a),
+          filter(transform(anchoredHits(g(a), text, p),
             m => Gates.derivationClean(m)),
             m => isCompleteDerivation(m))
         }.reduce(concat(_, _)),

@@ -29,8 +29,12 @@ class AnchorGuardSpec extends SparkTestBase {
     */
   private def unguardedScans(e: Expression, guarded: Boolean): Seq[String] = e match {
     case cw: CaseWhen =>
+      // an anchor guard tests literal containment — either per-term
+      // Contains or a bit test against the single-pass
+      // MultiContainsMaskExpr (BitwiseAnd on the mask)
       val anchorGuard = cw.branches.exists { case (c, _) =>
-        c.exists(_.isInstanceOf[Contains])
+        c.exists(x => x.isInstanceOf[Contains] ||
+          x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.BitwiseAnd])
       }
       cw.branches.flatMap { case (c, v) =>
         unguardedScans(c, guarded) ++ unguardedScans(v, guarded || anchorGuard)
@@ -52,7 +56,11 @@ class AnchorGuardSpec extends SparkTestBase {
     import spark.implicits._
     val df = Seq("x").toDF("text").withColumn("subject", lit("Physics"))
       .select(c.as("out"))
-    df.queryExecution.analyzed.expressions
+    // both the authored shape AND the post-optimizer shape: the optimizer
+    // (CollapseProject, SimplifyConditionals, PushFoldableIntoBranches)
+    // must not have hoisted a battery scan out of its guard branch
+    (df.queryExecution.analyzed.expressions ++
+      df.queryExecution.optimizedPlan.expressions)
       .flatMap(unguardedScans(_, guarded = false))
       .filter(batteries.contains)
   }

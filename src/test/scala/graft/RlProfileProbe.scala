@@ -33,6 +33,37 @@ class RlProfileProbe extends SparkTestBase {
     time("v3deriv", RlBuilder.V3DerivationPattern)
   }
 
+  test("anchor-free web text skips every battery scan", ProbeTag) {
+    import spark.implicits._
+    // no pattern's full anchor set present → every guardedZip takes the
+    // empty branch. The structural guarantee is AnchorGuardSpec (analyzed
+    // + optimized plan); this probe times the residual per-row cost,
+    // which is the guard contains-scans themselves (interpreted inside
+    // the HOF lambda; full-text scan when a term is ABSENT, early-exit
+    // when present — so anchor-free can legitimately exceed anchor-rich
+    // on the contains portion).
+    val neutral = ("the cat sat on the mat and the dog barked at the moon " +
+      "while rain fell over the quiet town square at dusk ") * 600 // ~60 KB
+    val df = Seq.fill(200)(neutral).toDF("text").cache(); df.count()
+    def t(name: String)(c: org.apache.spark.sql.Column): Unit = {
+      df.select(sum(size(c))).head()
+      val t0 = System.nanoTime()
+      df.select(sum(size(c))).head()
+      info(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s (200 docs x 60 KB)")
+    }
+    // one raw unguarded battery scan, for scale: ~22 of these would run
+    // per row without the guards
+    t("raw battery scan x1")(
+      regexp_extract_all(col("text"), lit(RlBuilder.ExplicitPatterns.head), lit(1)))
+    t("guarded v2 extraction")(RlBuilder.extractedExamples(col("text")))
+    t("guarded v3 extraction")(RlBuilder.v3ExtractedExamples(col("text")))
+    // and zero examples come out of anchor-free text (sanity)
+    val n = df.select(sum(size(RlBuilder.extractedExamples(col("text")))).as("n"))
+      .head().getLong(0)
+    assert(n == 0)
+    df.unpersist()
+  }
+
   test("profile rl stages", ProbeTag) {
     val corpus = spark.read
       .parquet(graft.fixtures.SynthCorpus.materializedCorpus(spark))
