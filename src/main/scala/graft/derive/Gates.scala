@@ -95,11 +95,11 @@ object Gates {
   // charset whitelist; ws collapse; NULL if < 15 chars, or no physics term
   // AND no math char, or < 2 English stopwords.
   // ------------------------------------------------------------------
-  private val C9PhysicsTerms = Seq(
+  private[graft] val C9PhysicsTerms = Seq(
     "energy", "force", "mass", "velocity", "field", "charge", "potential",
     "particle", "wave", "frequency", "momentum", "acceleration")
-  private val C9MathChars = Seq("=", "+", "-", "*", "/", "(", ")")
-  private val C9English = Seq(
+  private[graft] val C9MathChars = Seq("=", "+", "-", "*", "/", "(", ")")
+  private[graft] val C9English = Seq(
     "the", "and", "of", "to", "a", "in", "we", "is", "this", "that")
 
   def cleanAndValidate(c: Column): Column =

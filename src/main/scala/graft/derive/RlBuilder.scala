@@ -318,23 +318,46 @@ object RlBuilder {
   /** _extract_actual_problem_solutions (:42-86) + the caller's caps
     * (:31-37): battery order explicit → derivation → calculation, kept
     * candidates capped at 5 then 3.
+    *
+    * Battery scans stay declarative Catalyst (guarded, oracle-visible);
+    * per-candidate processing runs as the fused RlExampleExpr — the
+    * Column chains it replaces are kept below as `extractedExamplesRef`
+    * and proven byte-identical by RlExampleParitySpec.
     */
   def extractedExamples(text: Column): Column =
+    examplesPlan(text, { (kind, groups) =>
+      org.apache.spark.sql.GraftColumnBridge.column(RlExampleExpr(kind,
+        groups.map(org.apache.spark.sql.GraftColumnBridge.expression)))
+    })
+
+  /** The pure-Column reference form (parity test only). */
+  private[graft] def extractedExamplesRef(text: Column): Column =
+    examplesPlan(text, {
+      case ("explicit", Seq(g1, g2)) => explicitExample(g1, g2)
+      case ("derivation", Seq(g1, g2, g3)) => derivationExample(g1, g2, g3)
+      case ("calculation", Seq(g1, g2, g3)) => calculationExample(g1, g2, g3)
+      case other => throw new MatchError(other)
+    })
+
+  private def examplesPlan(text: Column,
+                           mk: (String, Seq[Column]) => Column): Column =
     graft.functions.Let(
       graft.functions.MultiContainsMask(text, V2AnchorTerms)) { bits =>
       def guard(a: Seq[Seq[String]]) =
         graft.functions.MultiContainsMask.allGroups(bits, V2AnchorTerms, a)
       val explicit = ExplicitPatterns.zip(ExplicitAnchors).map { case (p, a) =>
         transform(guardedZip2(guard(a), text, p),
-          z => explicitExample(z.getField("g1"), z.getField("g2")))
+          z => mk("explicit", Seq(z.getField("g1"), z.getField("g2"))))
       }
       val deriv = DerivationSeqPatterns.zip(DerivationSeqAnchors).map { case (p, a) =>
         transform(guardedZip3(guard(a), text, p),
-          z => derivationExample(z.getField("g1"), z.getField("g2"), z.getField("g3")))
+          z => mk("derivation",
+            Seq(z.getField("g1"), z.getField("g2"), z.getField("g3"))))
       }
       val calc = CalculationPatterns.zip(CalculationAnchors).map { case (p, a) =>
         transform(guardedZip3(guard(a), text, p),
-          z => calculationExample(z.getField("g1"), z.getField("g2"), z.getField("g3")))
+          z => mk("calculation",
+            Seq(z.getField("g1"), z.getField("g2"), z.getField("g3"))))
       }
       slice(filter(concat(explicit ++ deriv ++ calc: _*), e => e.isNotNull), 1, 3)
     }
@@ -360,7 +383,7 @@ object RlBuilder {
     regexp_replace(regexp_replace(trim(coalesce(c, lit(""))), "(?U)\\s+", " "),
       "[^\\w\\s\\.,;:()=+\\-*/\\[\\]{}\\\\]", "")
 
-  private val V3QualityPhysicsTerms = Seq("energy", "force", "field", "mass",
+  private[graft] val V3QualityPhysicsTerms = Seq("energy", "force", "field", "mass",
     "velocity", "equation")
 
   private def wordCount(c: Column): Column =
@@ -453,15 +476,19 @@ object RlBuilder {
   private[graft] val V3AnchorTerms: Seq[String] =
     (V3ExplicitAnchors.flatten ++ V3DerivationAnchors).flatten.distinct
 
+  /** Per-candidate processing fused into V3ExampleExpr; the Column form
+    * stays as v3ExtractedExamplesRef for RlExampleParitySpec.
+    */
   def v3ExtractedExamples(text: Column): Column =
-    graft.functions.Let(
-      graft.functions.MultiContainsMask(text, V3AnchorTerms)) { bits =>
-    def guard(a: Seq[Seq[String]]) =
-      graft.functions.MultiContainsMask.allGroups(bits, V3AnchorTerms, a)
+    v3ExamplesPlan(text, { (kind, groups) =>
+      org.apache.spark.sql.GraftColumnBridge.column(V3ExampleExpr(kind,
+        groups.map(org.apache.spark.sql.GraftColumnBridge.expression)))
+    })
+
+  private[graft] def v3ExtractedExamplesRef(text: Column): Column = {
     val nullEx = lit(null).cast(V3ExampleStruct)
-    val explicit = V3ExplicitPatterns.zip(V3ExplicitAnchors).map { case (p, a) =>
-      transform(guardedZip2(guard(a), text, p), z => {
-        val rawP = z.getField("g1"); val rawS = z.getField("g2")
+    v3ExamplesPlan(text, {
+      case ("explicit", Seq(rawP, rawS)) =>
         graft.functions.Let(v3AssessQuality(rawP, rawS)) { q =>
           when(length(trim(rawP)) > 20 && length(trim(rawS)) > 30 && q > 0.4,
             struct(lit("explicit_problem").as("example_type"),
@@ -469,27 +496,37 @@ object RlBuilder {
               q.as("quality")))
             .otherwise(nullEx)
         }
-      })
-    }
-    val deriv = {
-      val p = V3DerivationPattern
-      transform(guardedZip3(guard(V3DerivationAnchors), text, p), z => {
-        val given = z.getField("g1"); val process = z.getField("g2")
-        val result = z.getField("g3")
+      case ("derivation", Seq(given, process, result)) =>
         // quality over RAW given vs process+result concatenated (no space)
         graft.functions.Let(v3AssessQuality(given, concat(process, result))) { q =>
-        when(length(trim(given)) > 15 && length(trim(process)) > 20 && q > 0.4,
-          struct(lit("derivation").as("example_type"),
-            concat(lit("Given: "), trim(given),
-              lit("\nDerive the result and show all steps.")).as("problem"),
-            concat(lit("Starting with: "), trim(given), lit("\nProcess: "),
-              trim(process), lit("\nResult: "), trim(result)).as("solution"),
-            q.as("quality")))
-          .otherwise(nullEx)
+          when(length(trim(given)) > 15 && length(trim(process)) > 20 && q > 0.4,
+            struct(lit("derivation").as("example_type"),
+              concat(lit("Given: "), trim(given),
+                lit("\nDerive the result and show all steps.")).as("problem"),
+              concat(lit("Starting with: "), trim(given), lit("\nProcess: "),
+                trim(process), lit("\nResult: "), trim(result)).as("solution"),
+              q.as("quality")))
+            .otherwise(nullEx)
         }
-      })
-    }
-    slice(filter(concat(explicit :+ deriv: _*), e => e.isNotNull), 1, 2)
+      case other => throw new MatchError(other)
+    })
+  }
+
+  private def v3ExamplesPlan(text: Column,
+                             mk: (String, Seq[Column]) => Column): Column =
+    graft.functions.Let(
+      graft.functions.MultiContainsMask(text, V3AnchorTerms)) { bits =>
+      def guard(a: Seq[Seq[String]]) =
+        graft.functions.MultiContainsMask.allGroups(bits, V3AnchorTerms, a)
+      val explicit = V3ExplicitPatterns.zip(V3ExplicitAnchors).map { case (p, a) =>
+        transform(guardedZip2(guard(a), text, p),
+          z => mk("explicit", Seq(z.getField("g1"), z.getField("g2"))))
+      }
+      val deriv =
+        transform(guardedZip3(guard(V3DerivationAnchors), text, V3DerivationPattern),
+          z => mk("derivation",
+            Seq(z.getField("g1"), z.getField("g2"), z.getField("g3"))))
+      slice(filter(concat(explicit :+ deriv: _*), e => e.isNotNull), 1, 2)
     }
 
   /** RL suitability gate v3 (:632-643): len >= 800; >= 3 of 6 indicators
