@@ -288,16 +288,17 @@ object Extract {
   // ------------------------------------------------------------------
   // E20 — reasoning-type classifier (enhanced_paper_analyser.py:1393-1406)
   // ------------------------------------------------------------------
+  val ReasoningTypeCues: Seq[(String, Seq[String])] = Seq(
+    "mathematical_derivation" -> Seq("derive", "derivation", "proof", "show that"),
+    "law_application" -> Seq("conservation", "law", "principle", "theorem"),
+    "problem_solving" -> Seq("calculate", "find", "determine", "solve"),
+    "knowledge_recall" -> Seq("given", "known", "condition"))
+
   def reasoningType(c: Column): Column = {
     val lo = lower(c)
-    when(containsAny(lo, Seq("derive", "derivation", "proof", "show that")),
-      "mathematical_derivation")
-      .when(containsAny(lo, Seq("conservation", "law", "principle", "theorem")),
-        "law_application")
-      .when(containsAny(lo, Seq("calculate", "find", "determine", "solve")),
-        "problem_solving")
-      .when(containsAny(lo, Seq("given", "known", "condition")), "knowledge_recall")
-      .otherwise("reasoning_chain")
+    ReasoningTypeCues.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (t, cues)) => acc.when(containsAny(lo, cues), t)
+    }.otherwise("reasoning_chain")
   }
 
   // ------------------------------------------------------------------

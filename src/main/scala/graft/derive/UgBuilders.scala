@@ -320,17 +320,21 @@ Focus particularly on the application of: """),
   /** _is_complete_derivation (:1195-1221): len >= 100, a starter AND a
     * conclusion marker, and math-or-physics content.
     */
+  private[graft] val UgCompleteStarters = Seq("given", "starting with",
+    "consider", "let", "assume", "suppose")
+  private[graft] val UgCompleteConclusions = Seq("therefore", "thus",
+    "hence", "we obtain", "we get", "solution", "result")
+  private[graft] val UgCompleteMath = Seq("equation", "formula",
+    "derivative", "integral", "solve", "calculate")
+  private[graft] val UgCompletePhys = Seq("energy", "force", "field",
+    "particle", "wave", "quantum", "mass", "velocity")
+
   def isCompleteDerivation(c: Column): Column = {
     val lo = lower(c)
     (length(c) >= 100) &&
-      containsAny(lo, Seq("given", "starting with", "consider", "let",
-        "assume", "suppose")) &&
-      containsAny(lo, Seq("therefore", "thus", "hence", "we obtain",
-        "we get", "solution", "result")) &&
-      (containsAny(lo, Seq("equation", "formula", "derivative", "integral",
-        "solve", "calculate")) ||
-        containsAny(lo, Seq("energy", "force", "field", "particle", "wave",
-          "quantum", "mass", "velocity")))
+      containsAny(lo, UgCompleteStarters) &&
+      containsAny(lo, UgCompleteConclusions) &&
+      (containsAny(lo, UgCompleteMath) || containsAny(lo, UgCompletePhys))
   }
 
   /** Conservative NECESSARY literal anchors per UG derivation pattern
@@ -357,7 +361,24 @@ Focus particularly on the application of: """),
                            pattern: String): Column =
     when(guard, hits(text, pattern)).otherwise(array().cast("array<string>"))
 
+  /** Battery scans stay guarded Catalyst; the per-candidate clean +
+    * completeness check runs as the fused UgCompleteDerivExpr (Column
+    * form kept as ugFindCompleteDerivationsRef; UgExampleParitySpec).
+    */
   def ugFindCompleteDerivations(text: Column): Column =
+    wordGuarded(text) { g =>
+      slice(
+        UgDerivationPatterns.zip(UgDerivationAnchors).map { case (p, a) =>
+          filter(transform(anchoredHits(g(a), text, p),
+            m => org.apache.spark.sql.GraftColumnBridge.column(
+              UgCompleteDerivExpr(
+                org.apache.spark.sql.GraftColumnBridge.expression(m)))),
+            m => m.isNotNull)
+        }.reduce(concat(_, _)),
+        1, 5)
+    }
+
+  private[graft] def ugFindCompleteDerivationsRef(text: Column): Column =
     wordGuarded(text) { g =>
       slice(
         UgDerivationPatterns.zip(UgDerivationAnchors).map { case (p, a) =>
@@ -404,14 +425,19 @@ Focus particularly on the application of: """),
     ("(?i)(?:The|A|An)\\s+[^.]*(?:energy|force|momentum|velocity|acceleration)[^.]*\\.", 0),
     ("(?i)(?:Solving|Calculating|Finding|Determining)\\s+[^.]*\\.", 0))
 
+  private[graft] val UgEnhPhysTerms = Seq("energy", "force", "field",
+    "particle", "wave", "momentum", "velocity", "acceleration", "mass",
+    "charge", "potential")
+  private[graft] val UgEnhMathTerms = Seq("equation", "formula",
+    "derivative", "integral", "solve", "calculate", "substitute", "equal",
+    "therefore", "hence")
+  private[graft] val UgEnhAvoidTerms = Seq("page", "figure", "table",
+    "section", "chapter", "reference")
+
   def isMeaningfulStepEnhanced(step: Column): Column = {
     val lo = lower(step)
-    (containsAny(lo, Seq("energy", "force", "field", "particle", "wave",
-      "momentum", "velocity", "acceleration", "mass", "charge", "potential")) ||
-      containsAny(lo, Seq("equation", "formula", "derivative", "integral",
-        "solve", "calculate", "substitute", "equal", "therefore", "hence"))) &&
-      !containsAny(lo, Seq("page", "figure", "table", "section", "chapter",
-        "reference"))
+    (containsAny(lo, UgEnhPhysTerms) || containsAny(lo, UgEnhMathTerms)) &&
+      !containsAny(lo, UgEnhAvoidTerms)
   }
 
   def ugSolutionSteps(text: Column): Column =
@@ -477,23 +503,30 @@ Focus particularly on the application of: """),
         col(titleCol).as("title"), explode(col("blocks")).as("b"))
 
     val withCleaned = graft.functions.ComputeOnce(withBlocks, "cleaned",
-      Gates.derivationClean(col("b.block")))
+      org.apache.spark.sql.GraftColumnBridge.column(graft.derive.DerivationCleanExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("b.block")))))
       .filter(length(col("cleaned")) >= 100)
-    val withSteps = graft.functions.ComputeOnce(withCleaned, "steps",
-      ugSolutionSteps(col("cleaned")))
-      .filter(size(col("steps")) >= 2)
+    // the whole per-block metadata stage fused into one compiled pass
+    // (UgMetaExpr; Column forms remain the q45/q49 oracle surface and
+    // the UgExampleParitySpec reference)
+    val withMeta = graft.functions.ComputeOnce(withCleaned, "m",
+      org.apache.spark.sql.GraftColumnBridge.column(UgMetaExpr(Seq(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("cleaned")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("subject"))))))
+      .filter(col("m.step_count") >= 2)
 
-    withSteps
-      .withColumn("problem_statement", ugProblemStatement(col("cleaned")))
-      .withColumn("step_count", size(col("steps")))
-      .withColumn("difficulty", ugDifficulty(col("cleaned")))
-      .withColumn("topic", Extract.topic(col("cleaned"), col("subject")))
-      .withColumn("reasoning_type", Extract.reasoningType(col("cleaned")))
-      .withColumn("prerequisites", Extract.prerequisites(col("cleaned")))
-      .withColumn("concepts", Extract.concepts(col("cleaned")))
+    withMeta
+      .withColumn("problem_statement", col("m.problem_statement"))
+      .withColumn("steps", col("m.steps"))
+      .withColumn("step_count", col("m.step_count"))
+      .withColumn("difficulty", col("m.difficulty"))
+      .withColumn("topic", col("m.topic"))
+      .withColumn("reasoning_type", col("m.reasoning_type"))
+      .withColumn("prerequisites", col("m.prerequisites"))
+      .withColumn("concepts", col("m.concepts"))
       .withColumn("clean_title",
         graft.extract.Clean.titleCleanTraining(col("title")))
-      .withColumn("raw_text", graft.extract.Clean.limitRawText(col("cleaned")))
+      .withColumn("raw_text", col("m.raw_text"))
       .withColumn("example_type", col("b.example_type"))
       .withColumn("id", concat_ws("_", col("url"), col("example_type"),
         pmod(xxhash64(col("cleaned")), lit(10000))))
