@@ -256,10 +256,20 @@ Focus particularly on the application of: """),
                        subjectCol: String, titleCol: String,
                        abstractCol: String): DataFrame = {
     val text = col(textCol)
+    // one anchor-mask scan per row shared by the deriv/problem batteries
+    // (the standalone ugDerivations/ugProblemSolutions each bind their
+    // own — correct but one redundant pass when used together)
+    val content = wordGuarded(text) { g =>
+      struct(
+        batteryStripped(text,
+          a => a.map(gr => containsAny(text, gr)).reduce(_ && _),
+          UgEqPatterns, UgEqAnchors, 5).as("eqs"),
+        batteryStripped(text, g, UgDerivPatterns, UgDerivAnchors, 50).as("derivs"),
+        batteryStripped(text, g, UgProblemPatterns, UgProblemAnchors, 100).as("probs"))
+    }
     val base = graft.functions.ComputeOnce(
       scored.filter(suitableForUgBenchmark(text, col(urlCol))), "__ug",
-      struct(ugEquations(text).as("eqs"), ugDerivations(text).as("derivs"),
-        ugProblemSolutions(text).as("probs")))
+      content)
       // `return None if not any(content.values())`
       .filter(size(col("__ug.eqs")) + size(col("__ug.derivs")) +
         size(col("__ug.probs")) > 0)

@@ -68,18 +68,15 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
     val s = input.asInstanceOf[UTF8String]
     val n = s.numBytes()
     // fast path requires pure-ASCII text (byte-folding == toLowerCase
-    // there) and pure-ASCII terms
+    // there) and pure-ASCII terms; the ASCII check rides the scan itself
+    // (no separate pre-pass, no getBytes copy — getByte reads in place)
     if (!asciiTerms) return slowEval(s)
-    val bytes = s.getBytes
-    var i = 0
-    while (i < n) {
-      if ((bytes(i) & 0x80) != 0) return slowEval(s)
-      i += 1
-    }
     var mask = 0L
-    i = 0
+    var i = 0
     while (i < n && mask != allMask) {
-      val cand = dispatch(fold(bytes(i)) & 0xff)
+      val b = s.getByte(i)
+      if ((b & 0x80) != 0) return slowEval(s)
+      val cand = dispatch(fold(b) & 0xff)
       var j = 0
       while (j < cand.length) {
         val ti = cand(j)
@@ -87,8 +84,17 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
           val tb = termBytes(ti)
           if (i + tb.length <= n) {
             var k = 1
-            while (k < tb.length && fold(bytes(i + k)) == tb(k)) k += 1
-            if (k == tb.length) mask |= 1L << ti
+            var ok = true
+            while (ok && k < tb.length) {
+              val bk = s.getByte(i + k)
+              // a non-ASCII byte inside a candidate window cannot match
+              // an ASCII term byte, so folding it is moot — but it also
+              // means the doc is not pure ASCII: bail to the exact path
+              if ((bk & 0x80) != 0) return slowEval(s)
+              ok = fold(bk) == tb(k)
+              k += 1
+            }
+            if (ok && k == tb.length) mask |= 1L << ti
           }
         }
         j += 1

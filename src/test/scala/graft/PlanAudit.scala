@@ -34,7 +34,7 @@ class PlanAudit extends SparkTestBase {
       graft.derive.RlBuilder.rlTrainingExamplesV3(corpus, "url", "text", "subject", "title"))
     audit("ugTrainingExamples", maxMasks = 1,
       graft.derive.UgBuilders.ugTrainingExamples(corpus, "url", "text", "subject", "title"))
-    audit("ugBenchmarkItems", maxMasks = 2,
+    audit("ugBenchmarkItems", maxMasks = 1,
       graft.derive.UgBuilders.ugBenchmarkItems(
         corpus.withColumn("issues", array(lit("i1")))
           .withColumn("sophistication", lit(5.0))
