@@ -89,9 +89,15 @@ object Ivf {
     val mod =
       if (sampleMod >= 1) sampleMod
       else trainingSampleMod(df.select(idCol).count(), maxTrainSample)
+    // cache the (bounded, <= ~maxTrainSample-vector) sample: without it,
+    // every Lloyd iteration AND the init top-k re-scan the FULL corpus
+    // just to re-derive the hash filter — at 100 TB that is iters+1 full
+    // scans for a <= 128 MB working set
     val v = df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .filter(pmod(xxhash64(col("id")), lit(mod.toLong)) === 0L)
+      .cache()
+    try {
     // init: the k sample vectors with the smallest (hash, id) — a
     // TakeOrderedAndProject (top-k), not a full sort
     var centroids: Array[Array[Double]] = v
@@ -117,6 +123,7 @@ object Ivf {
           math.rint(x * 1e9) / 1e9)).getOrElse(centroids(c)))
     }
     centroids
+    } finally v.unpersist(blocking = false)
   }
 
   /** IVF top-k: train the quantizer, bucket the corpus by nearest cell,
