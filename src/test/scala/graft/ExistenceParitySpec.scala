@@ -37,8 +37,32 @@ class ExistenceParitySpec extends SparkTestBase {
     "Problem: p Solution: s Final answer: t", "Question q Answer a Hence h",
     "", " ", ".", "\n\n", "Problem", "Solution")
 
+  /** Seeded random docs mixing anchors, terminators, paragraph breaks
+    * (the \n\n lookahead alternative) and filler — the regime where a
+    * wrong existence rewrite would diverge.
+    */
+  private def randomDoc(seed: Long): String = {
+    var x = seed | 1L
+    def nxt(n: Int): Int = {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      ((x % n + n) % n).toInt
+    }
+    val vocab = Seq("Problem:", "Question", "Example", "Solution:", "Answer",
+      "Result", "Find", "Calculate", "Determine", "Show", "Prove", "Given",
+      "Starting with", "Consider", "From", "Using", "We derive", "We show",
+      "We find", "We have", "We start", "We get", "we obtain", "this gives",
+      "Therefore", "Thus", "Hence", "equation", "relation", "formula",
+      "The value of", "x = 3", "= 5", "Step 2", "First", "Initially",
+      "Next", "Then", "conservation", "law", "principle", "theorem", "of",
+      "momentum", "substituting", "rearranging", "solving", "(1)", "(12)",
+      "Final answer:", ".", "\n", "\n\n", "the", "a", "and", "filler",
+      "words", "here", "Q.E.D.")
+    (0 until (20 + nxt(100))).map(_ => vocab(nxt(vocab.length))).mkString(" ")
+  }
+
   private lazy val corpus =
-    ((0L until 120L).map(graft.fixtures.SynthCorpus.bodyFor) ++ adversarial)
+    ((0L until 120L).map(graft.fixtures.SynthCorpus.bodyFor) ++ adversarial ++
+      (1L to 150L).map(randomDoc))
       .toDF("text").cache()
 
   private def assertParity(cases: Seq[(String, String)], tag: String): Unit =
