@@ -40,6 +40,29 @@ object StreamingPipeline {
     graft.derive.BenchmarkBuilders.benchmarkItemsV3(
       scoredStream.withColumn("subject", lit("Physics")), "url", "text", "subject")
 
+  /** The RL (v2/v3) and UG training builders are the same narrow shape
+    * (gate → guarded batteries → fused per-candidate exprs → explode),
+    * so they stream unchanged too — StreamingDeriveSpec proves
+    * micro-batches ≡ batch for each.
+    */
+  def rlTrainingExamplesStream(scoredStream: DataFrame): DataFrame =
+    graft.derive.RlBuilder.rlTrainingExamples(
+      scoredStream.withColumn("subject", lit("Physics"))
+        .withColumn("title", lit("Physics paper")),
+      "url", "text", "subject", "title")
+
+  def rlTrainingExamplesV3Stream(scoredStream: DataFrame): DataFrame =
+    graft.derive.RlBuilder.rlTrainingExamplesV3(
+      scoredStream.withColumn("subject", lit("Physics"))
+        .withColumn("title", lit("Physics paper")),
+      "url", "text", "subject", "title")
+
+  def ugTrainingExamplesStream(scoredStream: DataFrame): DataFrame =
+    graft.derive.UgBuilders.ugTrainingExamples(
+      scoredStream.withColumn("subject", lit("Physics"))
+        .withColumn("title", lit("Physics paper")),
+      "url", "text", "subject", "title")
+
   /** Windowed keep-rate monitoring: 1-minute tumbling windows on warc_ts
     * with a 2-minute watermark — late crawl records beyond the watermark are
     * dropped, state is bounded (north-star driver-light requirement).

@@ -125,4 +125,42 @@ class StreamingDeriveSpec extends SparkTestBase {
     val benchStreamed = spark.table("bench_stream").collect().map(_.toSeq).toSet
     assert(benchStreamed.nonEmpty && benchStreamed == benchBatch)
   }
+
+  test("streaming RL and UG training builders equal batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 150L).map(SynthCorpus.docFor)
+    val stream = MemoryStream[WebDoc]
+    stream.addData(docs.take(70))
+    stream.addData(docs.drop(70))
+
+    val scoredStream = StreamingPipeline.score(stream.toDF(), spark)
+    val faces = Seq(
+      ("rl_v2_stream", StreamingPipeline.rlTrainingExamplesStream(scoredStream)
+        .select("id", "example_type", "step_count", "difficulty")),
+      ("rl_v3_stream", StreamingPipeline.rlTrainingExamplesV3Stream(scoredStream)
+        .select("id", "example_type", "difficulty")),
+      ("ug_stream", StreamingPipeline.ugTrainingExamplesStream(scoredStream)
+        .select("id", "example_type", "step_count", "difficulty", "topic")))
+    val queries = faces.map { case (name, df) =>
+      df.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    }
+    try queries.foreach(_.processAllAvailable())
+    finally queries.foreach(_.stop())
+
+    val scoredBatch = Pipeline.score(docs.toDF(), spark)
+    val batch = Seq(
+      StreamingPipeline.rlTrainingExamplesStream(scoredBatch)
+        .select("id", "example_type", "step_count", "difficulty"),
+      StreamingPipeline.rlTrainingExamplesV3Stream(scoredBatch)
+        .select("id", "example_type", "difficulty"),
+      StreamingPipeline.ugTrainingExamplesStream(scoredBatch)
+        .select("id", "example_type", "step_count", "difficulty", "topic"))
+    faces.map(_._1).zip(batch).foreach { case (name, b) =>
+      val streamed = spark.table(name).collect().map(_.toSeq).toSet
+      val expected = b.collect().map(_.toSeq).toSet
+      assert(streamed == expected, s"$name != batch")
+      assert(streamed.nonEmpty, s"$name produced no rows")
+    }
+  }
 }
