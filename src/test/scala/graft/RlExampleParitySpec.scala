@@ -19,6 +19,13 @@ class RlExampleParitySpec extends SparkTestBase {
     "Given . Therefore .", "Calculate . We have = 1",
     "Problem: x Solution: y " * 200, ". " * 500, "= " * 300,
     "Problem: short Solution: also short",
+    // astral-plane chars: Column length counts CODE POINTS — a
+    // String.length mirror would count UTF-16 units and shift the gates
+    "Problem: 𝄞𝄞 find the energy 🚀 of the field mass now " +
+      "Solution: we use the equation and 𝒜 we obtain the energy. " +
+      "First, we substitute the mass. Then we obtain it. Therefore E = 3.",
+    "Given 𝄞 the wave equation. We derive 🚀 the energy momentum. " +
+      "Therefore the relation follows from the equation w = c k.",
     // anchor-rich, gate-exercising bodies
     "Problem: find the energy of the field when mass is 3 kg and the " +
       "velocity field is uniform. Solution: we use the energy equation " +

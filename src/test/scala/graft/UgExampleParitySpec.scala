@@ -19,6 +19,8 @@ class UgExampleParitySpec extends SparkTestBase {
       "Solution: we substitute into the equation and obtain the result. " +
       "Therefore the force equals F = q E as derived above in detail.",
     "ünïcödé Given α. Therefore the energy equation gives it. " * 6,
+    "𝄞 Given the 🚀 energy equation we solve for mass. Therefore 𝒜 " +
+      "the result follows and we obtain it as the solution now. " * 4,
     "page 3 figure 2 Given x therefore equation energy " * 10)
 
   private def randomDoc(seed: Long): String = {
