@@ -43,7 +43,7 @@ object Ivf {
     * cell id, deterministically).
     */
   private def cellDists(vec: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
+    array(centroids.zipWithIndex.toIndexedSeq.map { case (c, i) =>
       struct(partialDist2(vec, c).as("d"), lit(i).as("cid"))
     }: _*)
 

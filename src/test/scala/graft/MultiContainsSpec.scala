@@ -65,6 +65,18 @@ class MultiContainsSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("all-terms-found early exit returns the full mask") {
+    // the fast path stops scanning once every term is found — on a text
+    // containing all terms (uppercased, with trailing content) the mask
+    // must still be exactly allMask, matching the reference
+    for (terms <- Seq(RlBuilder.V2AnchorTerms, RlBuilder.V3AnchorTerms,
+      UgBuilders.UgWordAnchorTerms)) {
+      val text = terms.map(_.toUpperCase).mkString(" ") + " trailing tail " * 50
+      assert(maskOf(Seq(text), terms) == referenceMask(Seq(text), terms))
+      assert(maskOf(Seq(text), terms).head == (1L << terms.length) - 1)
+    }
+  }
+
   test("allGroups matches the conjunction-of-disjunctions form") {
     val terms = RlBuilder.V2AnchorTerms
     val anchors = RlBuilder.ExplicitAnchors.head
