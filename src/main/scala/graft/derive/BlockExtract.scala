@@ -32,7 +32,7 @@ object BlockExtract {
 
   /** Exact mirror of Extract.containsEnglishPhysicsTerms (substring, 0/1). */
   def containsEnglishPhysicsTerms(s: String): Boolean = {
-    val lo = s.toLowerCase
+    val lo = graft.extract.Clean.sparkLower(s)
     var phys = 0; var vix = 0; var en = 0
     PhysTerms.foreach(t => if (lo.contains(t)) phys += 1)
     VixraTerms.foreach(t => if (lo.contains(t)) vix += 1)

@@ -2,6 +2,8 @@ package graft.derive
 
 import java.util.regex.Pattern
 
+import graft.extract.Clean.sparkLower
+
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -72,7 +74,7 @@ object ConceptExtract {
   private val digitP = Pattern.compile("\\d")
 
   private def physicsContentV2(s: String): Boolean =
-    containsAnyLower(s.toLowerCase, V2PhysicsTerms) ||
+    containsAnyLower(sparkLower(s), V2PhysicsTerms) ||
       V2MathChars.exists(s.contains)
 
   private def meaningfulEquation(eq: String): Boolean =
@@ -97,7 +99,7 @@ object ConceptExtract {
     val nums = findAll(v2NumPs, text) { m =>
       val t = spaceTrim(m)
       if (digitP.matcher(t).find() &&
-        containsAnyLower(t.toLowerCase, V2NumContexts) && t.length > 5)
+        containsAnyLower(sparkLower(t), V2NumContexts) && t.length > 5)
         Some(t) else None
     }
     val prins = findAll(v2PrinPs, text)(m => Some(spaceTrim(m)))
@@ -147,12 +149,12 @@ object ConceptExtract {
     val nums = findAll(v3NumPs, text) { m =>
       val t = spaceTrim(m)
       if (digitP.matcher(t).find() &&
-        containsAnyLower(t.toLowerCase, V3NumContexts) && t.length > 4)
+        containsAnyLower(sparkLower(t), V3NumContexts) && t.length > 4)
         Some(t) else None
     }
     val scens = findAll(v3ScenPs, text) { m =>
       val t = spaceTrim(m)
-      if (t.length > 25 && containsAnyLower(t.toLowerCase, V3PhysicsTerms))
+      if (t.length > 25 && containsAnyLower(sparkLower(t), V3PhysicsTerms))
         Some(t) else None
     }
     new GenericInternalRow(Array[Any](

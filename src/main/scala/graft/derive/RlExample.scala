@@ -1,6 +1,8 @@
 package graft.derive
 
 import java.util.regex.Pattern
+
+import graft.extract.Clean.sparkLower
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -86,7 +88,7 @@ object RlExample {
   private val wsSplit = Pattern.compile("(?U)\\s+")
 
   def isMeaningfulStep(step: String): Boolean = {
-    val lo = step.toLowerCase
+    val lo = sparkLower(step)
     val hasMeaningful = Extract.MeaningfulIndicators.exists(lo.contains)
     val hasMath = MathChars.exists(step.contains)
     val hasAvoid = Extract.AvoidTerms.exists(lo.contains)
@@ -105,7 +107,7 @@ object RlExample {
     val cleaned = spaceTrim(
       wsSplit.matcher(c9Strip.matcher(c).replaceAll("")).replaceAll(" "))
     if (nchars(cleaned) < 15) return null
-    val lo = cleaned.toLowerCase
+    val lo = sparkLower(cleaned)
     if (!Gates.C9PhysicsTerms.exists(lo.contains) &&
       !Gates.C9MathChars.exists(cleaned.contains)) return null
     if (Gates.C9English.count(lo.contains) < 2) return null
@@ -168,7 +170,7 @@ object RlExample {
   private val FlowCue = Seq("therefore", "thus", "hence", "so")
 
   def isHighQualityStep(step: String): Boolean = {
-    val lo = step.toLowerCase
+    val lo = sparkLower(step)
     nchars(step) >= 15 &&
       (Extract.QualityStepIndicators.exists(lo.contains) ||
         MathChars.exists(step.contains))
@@ -178,12 +180,12 @@ object RlExample {
     val n = steps.length
     if (n == 0) return 0.0
     val probOk = problem != null && nchars(problem) > 20 &&
-      ProblemCue.exists(problem.toLowerCase.contains)
+      ProblemCue.exists(sparkLower(problem).contains)
     val problemScore = if (probOk) 0.3 else 0.1
     val stepQuality = steps.count(isHighQualityStep).toDouble / n.toDouble * 0.4
     val mathContent = steps.count(_.contains("=")).toDouble / n.toDouble * 0.2
     val flow =
-      if (FlowCue.exists(steps.mkString(" ").toLowerCase.contains)) 0.1 else 0.05
+      if (FlowCue.exists(sparkLower(steps.mkString(" ")).contains)) 0.1 else 0.05
     math.min(1.0, problemScore + stepQuality + mathContent + flow)
   }
 
@@ -301,7 +303,7 @@ object RlExample {
   def v3Quality(problem: String, solution: String): Double = {
     def phys(s: String): Int =
       if (s == null) 0
-      else { val lo = s.toLowerCase; RlBuilder.V3QualityPhysicsTerms.count(lo.contains) }
+      else { val lo = sparkLower(s); RlBuilder.V3QualityPhysicsTerms.count(lo.contains) }
     val hasMath = solution != null && V3MathChars.exists(solution.contains)
     val pw = v3WordCount(problem); val sw = v3WordCount(solution)
     val lengthScore =

@@ -33,7 +33,7 @@ object StepExtract {
 
   /** _is_meaningful_step mirror (enhanced_paper_analyser.py:951-966). */
   def isMeaningfulStep(s: String): Boolean = {
-    val lo = s.toLowerCase
+    val lo = graft.extract.Clean.sparkLower(s)
     ((Extract.AnalyserMeaningful.exists(lo.contains) ||
       Extract.AnalyserVixra.exists(lo.contains)) &&
       !Extract.AnalyserAvoid.exists(lo.contains) &&

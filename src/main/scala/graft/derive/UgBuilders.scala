@@ -220,7 +220,7 @@ Provide a critical analysis focusing on potential flaws in the reasoning process
     val lo = lower(subject)
     val chain = PrinciplesMap.foldLeft(when(lit(false), lit(""))) {
       case (acc, (domain, ps)) =>
-        acc.when(lo.contains(domain.toLowerCase), lit(ps.take(3).mkString(", ")))
+        acc.when(lo.contains(domain.toLowerCase(java.util.Locale.ROOT)), lit(ps.take(3).mkString(", ")))
     }
     chain.otherwise(lit(FallbackPrinciples.take(3).mkString(", ")))
   }

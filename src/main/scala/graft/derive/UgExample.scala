@@ -1,6 +1,8 @@
 package graft.derive
 
 import java.util.regex.Pattern
+
+import graft.extract.Clean.sparkLower
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -61,7 +63,7 @@ object UgExample {
     val t = spaceTrim(s)
     val words = if (nchars(t) == 0) Array.empty[String] else wsSplit.split(t, -1)
     nchars(s) >= 15 && words.length >= 3 && {
-      val lo = s.toLowerCase
+      val lo = sparkLower(s)
       Gates.MeaningfulSentenceWords.exists(lo.contains)
     }
   }
@@ -92,7 +94,7 @@ object UgExample {
   // ---- UgBuilders.isCompleteDerivation -----------------------------
 
   def isCompleteDerivation(c: String): Boolean = {
-    val lo = c.toLowerCase
+    val lo = sparkLower(c)
     nchars(c) >= 100 &&
       UgBuilders.UgCompleteStarters.exists(lo.contains) &&
       UgBuilders.UgCompleteConclusions.exists(lo.contains) &&
@@ -116,7 +118,7 @@ object UgExample {
   private val sentSplit = Pattern.compile("[.!?]+")
 
   def isMeaningfulStepEnhanced(s: String): Boolean = {
-    val lo = s.toLowerCase
+    val lo = sparkLower(s)
     (UgBuilders.UgEnhPhysTerms.exists(lo.contains) ||
       UgBuilders.UgEnhMathTerms.exists(lo.contains)) &&
       !UgBuilders.UgEnhAvoidTerms.exists(lo.contains)
@@ -162,7 +164,7 @@ object UgExample {
   // ---- UgBuilders.ugDifficulty -------------------------------------
 
   def difficulty(c: String): String = {
-    val lo = c.toLowerCase
+    val lo = sparkLower(c)
     val adv = UgBuilders.UgAdvanced.count(lo.contains)
     val inter = UgBuilders.UgIntermediate.count(lo.contains)
     if (adv >= 2) "advanced"
@@ -173,7 +175,7 @@ object UgExample {
   // ---- Extract.topic / reasoningType / prerequisites / concepts ----
 
   def topic(c: String, subject: String): String = {
-    val lo = c.toLowerCase
+    val lo = sparkLower(c)
     val scores = Extract.TopicKeywords.map { case (t, kws) =>
       t -> kws.count(lo.contains)
     }
@@ -181,19 +183,19 @@ object UgExample {
     scores.find { case (_, s) => s == best && best > 0 } match {
       case Some((t, _)) => t
       case None =>
-        if (subject != null && subject.nonEmpty) subject.toLowerCase
+        if (subject != null && subject.nonEmpty) sparkLower(subject)
         else "general"
     }
   }
 
   def reasoningType(c: String): String = {
-    val lo = c.toLowerCase
+    val lo = sparkLower(c)
     Extract.ReasoningTypeCues.find { case (_, cues) => cues.exists(lo.contains) }
       .map(_._1).getOrElse("reasoning_chain")
   }
 
   def prerequisites(c: String): Array[String] = {
-    val lo = c.toLowerCase
+    val lo = sparkLower(c)
     Extract.PrereqIndicators.collect {
       case (name, inds) if inds.exists(lo.contains) => name
     }.toArray

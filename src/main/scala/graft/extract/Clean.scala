@@ -26,6 +26,23 @@ object Clean {
   private[graft] val NonAscii = "[^\\x00-\\x7F]+" // pdf_processor.py:71
   private[graft] val SpaceTabRun = "[ \\t]+" // pdf_processor.py:187
 
+  /** Mirror of Spark's `lower()` (`UTF8String.toLowerCase`, spark-unsafe
+    * 4.1.2): full-ASCII input byte-folds A-Z locale-independently;
+    * anything else takes default-locale `String.toLowerCase()`
+    * (`toLowerCaseSlow`). Plain `s.toLowerCase` in a mirror diverges
+    * from the Column form under tr/az default locales, where ASCII 'I'
+    * lowers to 'ı' even on pure-ASCII strings.
+    */
+  @inline private[graft] def sparkLower(s: String): String = {
+    var i = 0
+    var ascii = true
+    while (ascii && i < s.length) {
+      if (s.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) s.toLowerCase(java.util.Locale.ROOT) else s.toLowerCase()
+  }
+
   // ---------------------------------------------------------------------
   // C1 — basic clean (reference: analysis/pdf_processor.py:67-73)
   // order: \s+ -> ' ' ; strip non-ASCII ; ligatures ; strip
@@ -278,8 +295,16 @@ object Clean {
 
   def limitRawTextStr(t: String): String = {
     if (t == null) return ""
-    val s = if (t.length > 1500) t.substring(0, 1500) + "..." else t
-    s.trim
+    // mirror the Column form exactly: `length`/`substring` count code
+    // points (UTF8String.numChars/substringSQL), `trim` strips ' ' only
+    val s =
+      if (t.codePointCount(0, t.length) > 1500)
+        t.substring(0, t.offsetByCodePoints(0, 1500)) + "..."
+      else t
+    var a = 0; var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
   }
 
   // ---------------------------------------------------------------------

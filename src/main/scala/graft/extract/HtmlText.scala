@@ -99,7 +99,7 @@ object HtmlText {
           if (closing) j += 1
           val nameStart = j
           while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
-          val name = html.substring(nameStart, j).toLowerCase
+          val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
           if (!closing && SkipTagSet.contains(name)) {
             // skip to the matching close tag (case-insensitive), then to '>'
             val close = "</" + name
@@ -216,7 +216,7 @@ object HtmlText {
           if (closing) j += 1
           val nameStart = j
           while (j < n && Character.isLetterOrDigit(html.charAt(j))) j += 1
-          val name = html.substring(nameStart, j).toLowerCase
+          val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
           if (!closing && SkipTagSet.contains(name)) {
             val close = "</" + name
             var k = i + 1

@@ -201,26 +201,24 @@ object ComputeOnce {
   */
 object GraftFunctions {
 
-  /** Register on a live session. Idempotent. */
+  /** Register on a live session. Idempotent — and quiet about it:
+    * `createOrReplaceTempFunction` on an existing name logs a
+    * "replaced a previously registered function" WARN, and Pipeline
+    * calls this once per query, so skip names already present.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "pii_scrub", exprs => PiiScrubExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_token_stats",
-      exprs => graft.rules.TokenStatsExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_pattern_counts",
-      exprs => graft.rules.PatternCountsExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_basic_clean", exprs => BasicCleanExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_perplexity", exprs => PerplexityExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_simhash",
-      exprs => graft.dedup.SimHashExpr(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_extract_clean", exprs => ExtractCleanExpr(exprs.head), "built-in")
+    def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    reg1("pii_scrub", exprs => PiiScrubExpr(exprs.head))
+    reg1("graft_token_stats", exprs => graft.rules.TokenStatsExpr(exprs.head))
+    reg1("graft_pattern_counts",
+      exprs => graft.rules.PatternCountsExpr(exprs.head))
+    reg1("graft_basic_clean", exprs => BasicCleanExpr(exprs.head))
+    reg1("graft_perplexity", exprs => PerplexityExpr(exprs.head))
+    reg1("graft_simhash", exprs => graft.dedup.SimHashExpr(exprs.head))
+    reg1("graft_extract_clean", exprs => ExtractCleanExpr(exprs.head))
   }
 
   /** SparkSessionExtensions injection point (for spark-submit via

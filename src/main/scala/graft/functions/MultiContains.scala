@@ -21,13 +21,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * re-tested at every position anyway. The scan also exits early once
   * every term has been found (anchor-RICH text exits fastest).
   *
-  * Case semantics must equal `Lower(text)` + `Contains`: the fast path
-  * folds ASCII A-Z byte-wise, which is exact for pure-ASCII text and
-  * pure-ASCII lowercase terms; any non-ASCII byte in the text routes the
-  * whole document through UTF8String.toLowerCase + contains — the exact
-  * Column semantics (MultiContainsSpec property-tests parity on random
-  * Unicode). Terms are capped at 63 so the mask fits a Long with a
-  * sentinel-free "all found" compare.
+  * Case semantics must equal `Lower(text)` + `Contains`. Spark 4's
+  * `UTF8String.toLowerCase` byte-folds A-Z when the string is full
+  * ASCII and otherwise delegates to default-locale
+  * `String.toLowerCase()` (verified against the spark-unsafe 4.1.2
+  * bytecode: `toLowerCaseSlow` = `fromString(toString().toLowerCase())`).
+  * For pure-ASCII *terms* the fast path is exact on arbitrary UTF-8
+  * text, not just ASCII text, because a non-ASCII code point's UTF-8
+  * bytes all have the high bit set — they can never equal an ASCII term
+  * byte — and its default-locale lowercase stays non-ASCII except for a
+  * small enumerable set of code points (U+0130 İ → "i̇", U+212A K → "k",
+  * …). [[MultiContainsMask.lowersToAscii]] enumerates that set once per
+  * JVM against the *running* JVM's `String.toLowerCase()`, so the set is
+  * consistent with Spark's slow path by construction. The scanner skips
+  * whole non-ASCII sequences, bailing to the exact
+  * `toLowerCase`+`contains` fallback only for (a) a dangerous code
+  * point, (b) malformed/overlong UTF-8, or (c) a tr/az default locale,
+  * where `String.toLowerCase()` maps even ASCII 'I' to 'ı' and the
+  * ASCII fold itself would diverge on mixed text
+  * ([[MultiContainsMask.asciiFoldUnsafe]]). Terms with non-ASCII bytes
+  * route every row through the fallback. MultiContainsSpec
+  * property-tests parity on random Unicode including the dangerous set.
+  * Terms are capped at 63 so the mask fits a Long with a sentinel-free
+  * "all found" compare.
   *
   * CodegenFallback is deliberate: the guards live inside higher-order
   * function lambdas, which Spark always evaluates interpreted — a
@@ -38,7 +54,7 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
 
   require(terms.nonEmpty && terms.length <= 63,
     s"1..63 terms required, got ${terms.length}")
-  require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+  require(terms.forall(t => t.nonEmpty && t == t.toLowerCase(java.util.Locale.ROOT)),
     "terms must be non-empty lowercase")
 
   override def dataType: DataType = LongType
@@ -66,42 +82,72 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
+    val fast = fastScan(s)
+    if (fast == null) slowEval(s) else fast.longValue()
+  }
+
+  /** One-pass scan; null means "bail to the exact fallback". Package-
+    * visible so the spec can assert the fast path actually fires on
+    * mixed-UTF-8 documents (the at-scale case: real web text).
+    */
+  private[graft] def fastScan(s: UTF8String): java.lang.Long = {
+    if (!asciiTerms || MultiContainsMask.asciiFoldUnsafe) return null
     val n = s.numBytes()
-    // fast path requires pure-ASCII text (byte-folding == toLowerCase
-    // there) and pure-ASCII terms; the ASCII check rides the scan itself
-    // (no separate pre-pass, no getBytes copy — getByte reads in place)
-    if (!asciiTerms) return slowEval(s)
     var mask = 0L
     var i = 0
     while (i < n && mask != allMask) {
       val b = s.getByte(i)
-      if ((b & 0x80) != 0) return slowEval(s)
-      val cand = dispatch(fold(b) & 0xff)
-      var j = 0
-      while (j < cand.length) {
-        val ti = cand(j)
-        if ((mask & (1L << ti)) == 0L) {
-          val tb = termBytes(ti)
-          if (i + tb.length <= n) {
-            var k = 1
-            var ok = true
-            while (ok && k < tb.length) {
-              val bk = s.getByte(i + k)
-              // a non-ASCII byte inside a candidate window cannot match
-              // an ASCII term byte, so folding it is moot — but it also
-              // means the doc is not pure ASCII: bail to the exact path
-              if ((bk & 0x80) != 0) return slowEval(s)
-              ok = fold(bk) == tb(k)
-              k += 1
-            }
-            if (ok && k == tb.length) mask |= 1L << ti
-          }
+      if ((b & 0x80) != 0) {
+        // Non-ASCII sequence: decode just enough to rule out the
+        // lowercase-introduces-ASCII code points, then skip it whole —
+        // no ASCII term can start inside it (all bytes have bit 7 set).
+        val lead = b & 0xff
+        var len = 0
+        var cp = 0
+        if (lead >= 0xc2 && lead <= 0xdf) { len = 2; cp = lead & 0x1f }
+        else if (lead >= 0xe0 && lead <= 0xef) { len = 3; cp = lead & 0x0f }
+        else if (lead >= 0xf0 && lead <= 0xf4) { len = 4; cp = lead & 0x07 }
+        else return null // malformed (stray continuation / overlong lead)
+        if (i + len > n) return null // truncated
+        var k = 1
+        while (k < len) {
+          val bk = s.getByte(i + k)
+          if ((bk & 0xc0) != 0x80) return null // malformed
+          cp = (cp << 6) | (bk & 0x3f)
+          k += 1
         }
-        j += 1
+        // overlong encodings and out-of-range decode as garbage — bail
+        if (len == 3 && cp < 0x800) return null
+        if (len == 4 && (cp < 0x10000 || cp > 0x10ffff)) return null
+        if (MultiContainsMask.lowersToAscii.get(cp)) return null
+        i += len
+      } else {
+        val cand = dispatch(fold(b) & 0xff)
+        var j = 0
+        while (j < cand.length) {
+          val ti = cand(j)
+          if ((mask & (1L << ti)) == 0L) {
+            val tb = termBytes(ti)
+            if (i + tb.length <= n) {
+              var k = 1
+              var ok = true
+              while (ok && k < tb.length) {
+                val bk = s.getByte(i + k)
+                // a non-ASCII byte can never fold-equal an ASCII term
+                // byte — the candidate just fails here; the outer scan
+                // will decode+skip that sequence when it reaches it
+                ok = (bk & 0x80) == 0 && fold(bk) == tb(k)
+                k += 1
+              }
+              if (ok) mask |= 1L << ti
+            }
+          }
+          j += 1
+        }
+        i += 1
       }
-      i += 1
     }
-    mask
+    java.lang.Long.valueOf(mask)
   }
 
   private def slowEval(s: UTF8String): Long = {
@@ -122,6 +168,47 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
 }
 
 object MultiContainsMask {
+  /** Code points ≥ U+0080 whose default-locale `String.toLowerCase()` —
+    * the exact function behind `UTF8String.toLowerCaseSlow` — produces
+    * any ASCII char (U+0130 İ → "i̇", U+212A K → "k", …). Enumerated
+    * once per JVM against the running JVM/locale so it can never drift
+    * from Spark's behavior. Surrogate code points are marked dangerous:
+    * they only arise from malformed UTF-8, which must take the exact
+    * fallback. The conditional special-casing rules (final sigma) map
+    * within the non-ASCII plane, so per-code-point enumeration is
+    * sufficient — and the MultiContainsSpec parity property checks this
+    * empirically.
+    */
+  private[functions] lazy val lowersToAscii: java.util.BitSet = {
+    val bs = new java.util.BitSet(0x110000)
+    var cp = 0x80
+    while (cp < 0x110000) {
+      if (cp >= 0xd800 && cp <= 0xdfff) {
+        bs.set(cp)
+      } else {
+        val lo = new String(Character.toChars(cp)).toLowerCase()
+        var i = 0
+        var danger = false
+        while (!danger && i < lo.length) {
+          if (lo.charAt(i) < 0x80) danger = true
+          i += 1
+        }
+        if (danger) bs.set(cp)
+      }
+      cp += 1
+    }
+    bs
+  }
+
+  /** In tr/az default locales `String.toLowerCase()` maps ASCII 'I' to
+    * 'ı' — so on any non-full-ASCII string (Spark's slow path) even the
+    * ASCII fold diverges. Detect once; the fast path then refuses
+    * non-ASCII documents entirely (pure-ASCII ones still byte-fold,
+    * which Spark does locale-independently).
+    */
+  private[functions] lazy val asciiFoldUnsafe: Boolean =
+    "Ié".toLowerCase().charAt(0) != 'i'
+
   /** Column form: a Long whose bit i says `lower(text) contains terms(i)`. */
   def apply(text: Column, terms: Seq[String]): Column =
     org.apache.spark.sql.GraftColumnBridge.column(

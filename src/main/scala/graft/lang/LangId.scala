@@ -52,7 +52,7 @@ object LangId {
   def englishStopwordCountStr(text: String, words: Seq[String] = EnglishStopwords10,
                               sampleLen: Int = 1000): Int = {
     if (text == null) return 0
-    val sample = text.substring(0, math.min(text.length, sampleLen)).toLowerCase
+    val sample = text.substring(0, math.min(text.length, sampleLen)).toLowerCase(java.util.Locale.ROOT)
     words.count(sample.contains)
   }
 
@@ -102,7 +102,7 @@ object LangId {
       */
     def predict(text: String, sampleLen: Int = 500): String = {
       if (text == null || text.length < 3) return "und"
-      val s = text.substring(0, math.min(text.length, sampleLen)).toLowerCase
+      val s = text.substring(0, math.min(text.length, sampleLen)).toLowerCase(java.util.Locale.ROOT)
       val scores = new Array[Double](langs.length)
       var grams = 0
       val n = s.length

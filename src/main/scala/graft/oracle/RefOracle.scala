@@ -49,10 +49,10 @@ object RefOracle {
     val lang = langModel.predict(text)
 
     // Suitability gates (enhanced_paper_analyser.py:145-172)
-    val isVixra = url != null && url.toLowerCase.contains("vixra")
+    val isVixra = url != null && url.toLowerCase(java.util.Locale.ROOT).contains("vixra")
     val enThreshold = if (isVixra) 2 else 3
     val termThreshold = if (isVixra) 1 else 2
-    val sample = text.substring(0, math.min(text.length, 1000)).toLowerCase
+    val sample = text.substring(0, math.min(text.length, 1000)).toLowerCase(java.util.Locale.ROOT)
     val enCount = LangId.englishStopwordCountStr(text)
     val termCount =
       Heuristics.containsMembershipCountStr(sample, Heuristics.PhysicsIndicators) +

@@ -109,7 +109,7 @@ object Heuristics {
   def tokenMembershipCountStr(t: String, terms: Seq[String]): Long = {
     if (t == null) return 0L
     val set = terms.toSet
-    t.split(WsRun).count(w => w.nonEmpty && set.contains(w.toLowerCase)).toLong
+    t.split(WsRun).count(w => w.nonEmpty && set.contains(graft.extract.Clean.sparkLower(w))).toLong
   }
 
   /** Substring-containment variant (each term counted 0/1) — the gate style

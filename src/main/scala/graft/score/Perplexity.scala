@@ -133,7 +133,7 @@ object Perplexity {
       */
     def score(text: String, sampleLen: Int = 5000): Double = {
       if (text == null) return MaxPpl
-      val s = text.substring(0, math.min(text.length, sampleLen)).toLowerCase
+      val s = text.substring(0, math.min(text.length, sampleLen)).toLowerCase(java.util.Locale.ROOT)
       val toks = s.split("(?U)\\s+").filter(_.nonEmpty)
       if (toks.isEmpty) return MaxPpl
       var lp = logProb(toks(0))

@@ -74,7 +74,7 @@ object Stages {
   }
   def dimPhysicsAssumptionsStr(text: String): Double = {
     if (text == null || text.trim.isEmpty) return 5.0
-    val sample = text.substring(0, math.min(text.length, 5000)).toLowerCase
+    val sample = text.substring(0, math.min(text.length, 5000)).toLowerCase(java.util.Locale.ROOT)
     val cnt = Heuristics.containsMembershipCountStr(sample, AssumptionTerms)
     clamp110d(10.0 - cnt.toDouble)
   }

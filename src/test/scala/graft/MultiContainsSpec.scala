@@ -65,6 +65,103 @@ class MultiContainsSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("fast path fires on mixed-UTF-8 documents and agrees with the fallback") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // the at-scale case the round-3 verdict flagged: real web text is
+    // mostly non-ASCII (curly quotes, dashes, CJK, Greek) — the one-pass
+    // scan must still fire there, not bail to N-contains
+    val terms = Seq("problem", "we have", "therefore", "step", "solution")
+    val expr = MultiContainsMaskExpr(Literal(UTF8String.fromString("")), terms)
+    val mixedDocs = Seq(
+      "“PROBLEM” — ünïcödé WE HAVE α = β, therefore… 中文 step",
+      "日本語テキスト problem なし solution あり",
+      "Ω → ω Straße ß THEREFORE the step count",
+      "emoji 🎉 problem 🚀 we have it",
+      "русский текст problem и solution",
+      "no anchors at all — «jüst» ordinary web prose ✓")
+    mixedDocs.foreach { d =>
+      val s = UTF8String.fromString(d)
+      val fast = expr.fastScan(s)
+      assert(fast != null, s"fast path bailed on: $d")
+      val lo = s.toLowerCase
+      val want = terms.zipWithIndex.map { case (t, i) =>
+        if (lo.contains(UTF8String.fromString(t))) 1L << i else 0L
+      }.reduce(_ | _)
+      assert(fast.longValue() == want, s"parity on: $d")
+    }
+    // the dangerous set must still bail...
+    for (bad <- Seq("İstanbul problem", "ĸ problem K", "ſtep problem")
+         if expr.fastScan(UTF8String.fromString(bad)) != null) {
+      // ...unless this JVM's toLowerCase maps the cp away from ASCII —
+      // then it is genuinely safe; parity below still proves it
+      val cp = bad.codePoints().filter(_ >= 0x80).findFirst().getAsInt
+      assert(!new String(Character.toChars(cp)).toLowerCase()
+        .exists(_ < 0x80), s"fast path missed dangerous cp in: $bad")
+    }
+  }
+
+  test("mask parity over the lowercase-introduces-ASCII code points") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val terms = Seq("problem", "i", "k", "fi", "st", "we have")
+    def exprMask(t: String): Long =
+      MultiContainsMaskExpr(Literal(UTF8String.fromString(t)), terms)
+        .eval(null).asInstanceOf[Long]
+    def refMask(t: String): Long = {
+      val lo = UTF8String.fromString(t).toLowerCase
+      terms.zipWithIndex.map { case (term, i) =>
+        if (lo.contains(UTF8String.fromString(term))) 1L << i else 0L
+      }.reduce(_ | _)
+    }
+    // every BMP code point whose default-locale lowercase contains ASCII
+    val danger = (0x80 until 0x10000)
+      .filterNot(cp => cp >= 0xd800 && cp <= 0xdfff)
+      .filter(cp => new String(Character.toChars(cp)).toLowerCase()
+        .exists(_ < 0x80))
+    assert(danger.contains(0x130), "U+0130 must be in the enumerated set")
+    assert(danger.contains(0x212a), "U+212A must be in the enumerated set")
+    danger.foreach { cp =>
+      val c = new String(Character.toChars(cp))
+      for (t <- Seq(s"${c}problem", s"pro${c}blem K${c}", s"$c", s"ﬁnd $c st"))
+        assert(exprMask(t) == refMask(t),
+          s"parity broke at U+${cp.toHexString}: '$t'")
+    }
+    // and a supplementary-plane cased sample (Deseret has case pairs)
+    for (t <- Seq("𐐀 problem", "𐐨 we have k"))
+      assert(exprMask(t) == refMask(t))
+  }
+
+  test("malformed UTF-8 routes through the exact fallback") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val terms = Seq("problem", "step")
+    val expr = MultiContainsMaskExpr(
+      Literal(UTF8String.fromString("")), terms)
+    def parity(bytes: Array[Byte]): Unit = {
+      val s = UTF8String.fromBytes(bytes)
+      val got = MultiContainsMaskExpr(
+        Literal.create(s, org.apache.spark.sql.types.StringType), terms)
+        .eval(null).asInstanceOf[Long]
+      val lo = s.toLowerCase
+      val want = terms.zipWithIndex.map { case (t, i) =>
+        if (lo.contains(UTF8String.fromString(t))) 1L << i else 0L
+      }.reduce(_ | _)
+      assert(got == want, s"bytes=${bytes.map(b => f"$b%02x").mkString(" ")}")
+    }
+    val cases = Seq[Array[Byte]](
+      Array(0x80.toByte) ++ "problem".getBytes("UTF-8"), // stray continuation
+      "pro".getBytes("UTF-8") ++ Array(0xc2.toByte),      // truncated 2-byte
+      Array(0xe0.toByte, 0x80.toByte, 0x81.toByte) ++ "step".getBytes("UTF-8"), // overlong
+      Array(0xf5.toByte, 0x90.toByte) ++ "problem step".getBytes("UTF-8"), // invalid lead
+      Array(0xed.toByte, 0xa0.toByte, 0x80.toByte) ++ "step".getBytes("UTF-8")) // surrogate
+    cases.foreach(parity)
+    // and malformed bytes must bail the fast path (exactness by fallback)
+    cases.foreach { bytes =>
+      assert(expr.fastScan(UTF8String.fromBytes(bytes)) == null)
+    }
+  }
+
   test("all-terms-found early exit returns the full mask") {
     // the fast path stops scanning once every term is found — on a text
     // containing all terms (uppercased, with trailing content) the mask
