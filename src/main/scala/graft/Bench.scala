@@ -108,8 +108,8 @@ object ScalingAB {
         .agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()
       (System.nanoTime() - t0) / 1e9
     }
-    var best8 = Double.MaxValue
-    var best32 = Double.MaxValue
+    val times8 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val times32 = scala.collection.mutable.ArrayBuffer.empty[Double]
     (1 to rounds).foreach { r =>
       for (cpus <- Seq(small, large)) {
         val spark = session(cpus)
@@ -117,15 +117,26 @@ object ScalingAB {
         ensureCorpus(spark)
         if (r == 1) run(spark) // warm-up
         val s = run(spark)
-        if (cpus == small) best8 = math.min(best8, s) else best32 = math.min(best32, s)
+        (if (cpus == small) times8 else times32) += s
         System.err.println(f"[scaling] round $r cpus=$cpus ${s}%.2f s")
         spark.stop()
       }
     }
-    val t8 = n / best8
-    val t32 = n / best32
+    // min = steal-free estimate on this bursty-steal VM; the full spread
+    // is reported so a single number can't hide round-to-round variance
+    def stats(ts: Seq[Double]): (Double, Double, Double) = {
+      val sorted = ts.sorted
+      (sorted.head, sorted(sorted.length / 2), sorted.last)
+    }
+    val (min8, med8, max8) = stats(times8.toSeq)
+    val (min32, med32, max32) = stats(times32.toSeq)
+    val t8 = n / min8
+    val t32 = n / min32
     val eff = t32 / (4.0 * t8)
-    println(f"""{"docs":$n,"rounds":$rounds,"n_cores":$small,"t_n_docs_per_sec":$t8%.1f,"t_4n_docs_per_sec":$t32%.1f,"efficiency":$eff%.3f}""")
+    val effMed = (n / med32) / (4.0 * (n / med8))
+    def arr(ts: Seq[Double]): String =
+      ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(f"""{"docs":$n,"rounds":$rounds,"n_cores":$small,"t_n_docs_per_sec":$t8%.1f,"t_4n_docs_per_sec":$t32%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"times_n_sec":${arr(times8.toSeq)},"times_4n_sec":${arr(times32.toSeq)},"spread_n":"$min8%.2f-$max8%.2f s","spread_4n":"$min32%.2f-$max32%.2f s"}""")
   }
 }
 

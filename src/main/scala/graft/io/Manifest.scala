@@ -130,9 +130,14 @@ object Manifest {
       val out = process(part)
       out.write.mode(SaveMode.Overwrite).parquet(bucketPath(outDir, b))
       val written = spark.read.parquet(bucketPath(outDir, b))
+      // `keep` is the score sink's label; derived sinks (training examples,
+      // benchmark items) have no such column — every written row counts
+      val keptCol =
+        if (written.columns.contains("keep"))
+          sum(when(col("keep"), 1L).otherwise(0L))
+        else count(lit(1)).cast("long")
       val stats = written.agg(
-        count(lit(1)).as("n"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("kept")).head()
+        count(lit(1)).as("n"), keptCol.as("kept")).head()
       commit(spark, outDir, BucketMeta(
         bucket = b,
         input_fingerprint = fps.getOrElse(b, 0L),

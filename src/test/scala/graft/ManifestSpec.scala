@@ -82,6 +82,51 @@ class ManifestSpec extends SparkTestBase {
     assert(Manifest.readCommitted(spark, dir).count() == 100)
   }
 
+  test("kill mid-run on a derive sink: resume recomputes zero committed buckets") {
+    // the round-3 verdict's done-bar: runBucketed is generic, but only the
+    // score path was kill-tested — drive the training-example DERIVE sink
+    // (no `keep` column, exploded row counts) through the same protocol
+    val dir = Files.createTempDirectory("graft_manifest_derive").toString
+    val corpus = spark.read.parquet(
+        graft.fixtures.SynthCorpus.materializedCorpus(spark))
+      .withColumn("subject", lit("Physics"))
+    def deriveFn(df: org.apache.spark.sql.DataFrame) =
+      graft.derive.Derive.trainingExamples(df, "url", "text", "subject")
+        .select("id", "url", "example_type", "problem_statement",
+          "step_count", "quality_score")
+
+    var processed = 0
+    intercept[RuntimeException] {
+      Manifest.runBucketed(spark, corpus, dir, "url", 4) { df =>
+        processed += 1
+        if (processed > 2) throw new RuntimeException("simulated kill")
+        deriveFn(df)
+      }
+    }
+    assert(Manifest.committedBuckets(spark, dir).size == 2)
+
+    // resume: exactly the 2 missing buckets run — 0 recomputed
+    var resumedCalls = 0
+    val resumed = Manifest.runBucketed(spark, corpus, dir, "url", 4) { df =>
+      resumedCalls += 1; deriveFn(df)
+    }
+    assert(resumed == 2 && resumedCalls == 2,
+      s"resume recomputed committed buckets ($resumed, $resumedCalls)")
+
+    // the union of bucket outputs equals a clean one-shot derive
+    val out = Manifest.readCommitted(spark, dir)
+      .select("id", "example_type", "problem_statement").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+    val clean = deriveFn(corpus)
+      .select("id", "example_type", "problem_statement").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+    assert(out.length > 0 && out.sameElements(clean))
+
+    // manifest metrics reflect the derive sink: n_rows = exploded examples
+    val m = spark.read.parquet(Manifest.manifestPath(dir))
+    assert(m.agg(sum("n_rows")).head().getLong(0) == clean.length)
+  }
+
   test("pendingRows anti-join filters committed buckets") {
     val dir = Files.createTempDirectory("graft_manifest_anti").toString
     val input = SynthCorpus.docsRaw(spark, 100, 4).toDF()
