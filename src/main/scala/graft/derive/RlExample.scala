@@ -120,13 +120,26 @@ object RlExample {
   private val eqStepP = Pattern.compile("([^.]*=\\s*[^.]*\\.)")
   private val sentSplit = Pattern.compile("[.!?]+")
 
+  // necessary literals per Extract.StepPatterns prefix alternation —
+  // AnchorGuard (ASCII fold, matching the patterns' bare `(?i)`)
+  private val StepAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("step", "first", "next", "then", "finally")),
+    Array(Array("we have", "we get", "we find", "we obtain", "we use")),
+    Array(Array("from", "using", "by", "since")),
+    Array(Array("therefore", "thus", "hence")))
+
   def reasoningSteps(c: String): Array[String] = {
+    val fold = AnchorGuard.asciiLower(c)
     val primary = ArrayBuffer.empty[String]
+    var pi = 0
     stepPs.foreach { p =>
-      groupHits(p, c, 1).foreach { m0 =>
-        val s = spaceTrim(m0)
-        if (nchars(s) > 10 && isMeaningfulStep(s)) primary += s
+      if (AnchorGuard.anchored(fold, StepAnchors(pi))) {
+        groupHits(p, c, 1).foreach { m0 =>
+          val s = spaceTrim(m0)
+          if (nchars(s) > 10 && isMeaningfulStep(s)) primary += s
+        }
       }
+      pi += 1
     }
     val chosen: ArrayBuffer[String] =
       if (primary.nonEmpty) primary

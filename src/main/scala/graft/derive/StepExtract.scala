@@ -40,15 +40,36 @@ object StepExtract {
       Extract.AnalyserCommon.exists(lo.contains))
   }
 
+  // necessary literals per AnalyserStepPatterns prefix alternation —
+  // AnchorGuard (ASCII fold, matching the patterns' bare `(?i)`)
+  private val StepAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("step", "first", "second", "third", "next", "then",
+      "finally", "therefore", "hence", "thus")),
+    Array(Array("we have", "we get", "we obtain", "we find",
+      "we calculate", "we derive")),
+    Array(Array("using", "applying", "from", "by"),
+      Array("equation", "formula", "law", "principle")),
+    Array(Array("substituting", "replacing", "setting"), Array("=")),
+    Array(Array("given", "assume", "consider", "let")),
+    Array(Array("this gives", "this yields", "we see that",
+      "it follows that")),
+    Array(Array("since", "because", "as"),
+      Array("we have", "we get", "we obtain")))
+
   def compute(text: String): Array[String] = {
     if (text == null) return Array.empty
+    val fold = AnchorGuard.asciiLower(text)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pi = 0
     stepPs.foreach { p =>
-      val m = p.matcher(text)
-      while (m.find()) {
-        val s = spaceTrim(m.group(0))
-        if (s.length > 8 && s.length < 250 && isMeaningfulStep(s)) out += s
+      if (AnchorGuard.anchored(fold, StepAnchors(pi))) {
+        val m = p.matcher(text)
+        while (m.find()) {
+          val s = spaceTrim(m.group(0))
+          if (s.length > 8 && s.length < 250 && isMeaningfulStep(s)) out += s
+        }
       }
+      pi += 1
     }
     if (out.size < 2) {
       sentSplit.split(text, -1).foreach { raw =>

@@ -491,8 +491,13 @@ Focus particularly on the application of: """),
     * enhanced steps (>= 2), enhanced difficulty, parent topic/prereqs/
     * concepts (crash (b) repair), E20 reasoning type.
     */
-  def ugTrainingExamples(df: DataFrame, urlCol: String, textCol: String,
-                         subjectCol: String, titleCol: String): DataFrame = {
+  /** The chain prefix shared with UgProfileProbe: gate → derivation/
+    * solution/proof blocks → per-block derivation clean (len ≥ 100).
+    * Columns: url, subject, title, b(example_type, block), cleaned.
+    */
+  private[graft] def ugCleanedBlocks(df: DataFrame, urlCol: String,
+                                     textCol: String, subjectCol: String,
+                                     titleCol: String): DataFrame = {
     val text = col(textCol)
     val fusedBlocks = org.apache.spark.sql.GraftColumnBridge.column(
       BlockExtractExpr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
@@ -512,10 +517,15 @@ Focus particularly on the application of: """),
       .select(col(urlCol).as("url"), col(subjectCol).as("subject"),
         col(titleCol).as("title"), explode(col("blocks")).as("b"))
 
-    val withCleaned = graft.functions.ComputeOnce(withBlocks, "cleaned",
+    graft.functions.ComputeOnce(withBlocks, "cleaned",
       org.apache.spark.sql.GraftColumnBridge.column(graft.derive.DerivationCleanExpr(
         org.apache.spark.sql.GraftColumnBridge.expression(col("b.block")))))
       .filter(length(col("cleaned")) >= 100)
+  }
+
+  def ugTrainingExamples(df: DataFrame, urlCol: String, textCol: String,
+                         subjectCol: String, titleCol: String): DataFrame = {
+    val withCleaned = ugCleanedBlocks(df, urlCol, textCol, subjectCol, titleCol)
     // the whole per-block metadata stage fused into one compiled pass
     // (UgMetaExpr; Column forms remain the q45/q49 oracle surface and
     // the UgExampleParitySpec reference)

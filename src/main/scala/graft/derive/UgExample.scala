@@ -110,6 +110,36 @@ object UgExample {
     if (isCompleteDerivation(cleaned)) cleaned else null
   }
 
+  // ---- anchor guards for the per-candidate regex batteries ---------
+  // (see AnchorGuard for the necessary-literal argument and the
+  // profile numbers; step1/step6 literals occur in 0% of gated blocks,
+  // step3 66%, stmt1 54% — UgProfileProbe)
+
+  import AnchorGuard.{anchored, asciiLower}
+
+  private val StepAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("step", "first", "initially", "next", "then", "finally")),
+    Array(Array("using", "applying", "from", "by"),
+      Array("equation", "formula", "law", "principle", "conservation")),
+    Array(Array("substituting", "setting", "with", "given"), Array("=")),
+    Array(Array("therefore", "thus", "hence", "we obtain", "we get",
+      "this gives")),
+    Array(Array("the", "a", "an"),
+      Array("energy", "force", "momentum", "velocity", "acceleration")),
+    Array(Array("solving", "calculating", "finding", "determining")))
+
+  private val StmtAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("problem", "question")),
+    Array(Array("given", "consider", "find", "calculate", "determine",
+      "show", "prove")),
+    Array(Array("a"), Array("particle", "wave", "field", "system")))
+
+  private val ConceptAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("conservation of", "principle of", "law of")),
+    Array(Array("theorem", "equation", "formula", "relation",
+      "transformation")),
+    Array(Array("model", "theory", "approximation", "method")))
+
   // ---- UgBuilders.ugSolutionSteps ----------------------------------
 
   private val stepPs = UgBuilders.UgStepPatterns.map {
@@ -125,12 +155,17 @@ object UgExample {
   }
 
   def solutionSteps(c: String): Array[String] = {
+    val fold = asciiLower(c)
     val pattern = ArrayBuffer.empty[String]
+    var pi = 0
     stepPs.foreach { case (p, g) =>
-      groupHits(p, c, g).foreach { m0 =>
-        val s = spaceTrim(m0)
-        if (nchars(s) > 20 && isMeaningfulStepEnhanced(s)) pattern += s
+      if (anchored(fold, StepAnchors(pi))) {
+        groupHits(p, c, g).foreach { m0 =>
+          val s = spaceTrim(m0)
+          if (nchars(s) > 20 && isMeaningfulStepEnhanced(s)) pattern += s
+        }
       }
+      pi += 1
     }
     val all =
       if (pattern.size < 2) {
@@ -151,12 +186,17 @@ object UgExample {
   }
 
   def problemStatement(c: String): String = {
+    val fold = asciiLower(c)
+    var pi = 0
     stmtPs.foreach { case (p, g) =>
-      val m = p.matcher(if (c == null) "" else c)
-      val first = if (m.find()) { val x = m.group(g); if (x == null) "" else x }
-        else ""
-      val cand = spaceTrim(first)
-      if (nchars(cand) > 30 && isMeaningfulSentence(cand)) return cand
+      if (anchored(fold, StmtAnchors(pi))) {
+        val m = p.matcher(if (c == null) "" else c)
+        val first = if (m.find()) { val x = m.group(g); if (x == null) "" else x }
+          else ""
+        val cand = spaceTrim(first)
+        if (nchars(cand) > 30 && isMeaningfulSentence(cand)) return cand
+      }
+      pi += 1
     }
     "Problem statement not clearly identified."
   }
@@ -207,8 +247,14 @@ object UgExample {
     * insertion-ordered set.
     */
   def concepts(c: String): Array[String] = {
+    val fold = asciiLower(c)
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-    conceptPs.foreach(p => groupHits(p, c, 0).foreach(seen += _))
+    var pi = 0
+    conceptPs.foreach { p =>
+      if (anchored(fold, ConceptAnchors(pi)))
+        groupHits(p, c, 0).foreach(seen += _)
+      pi += 1
+    }
     seen.toArray
   }
 
