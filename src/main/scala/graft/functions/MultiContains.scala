@@ -98,28 +98,45 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
     while (i < n && mask != allMask) {
       val b = s.getByte(i)
       if ((b & 0x80) != 0) {
-        // Non-ASCII sequence: decode just enough to rule out the
-        // lowercase-introduces-ASCII code points, then skip it whole —
-        // no ASCII term can start inside it (all bytes have bit 7 set).
+        // Non-ASCII sequence: skip it whole — no ASCII term can start
+        // inside it (all bytes have bit 7 set). Continuations are still
+        // validated (a malformed sequence must take the exact fallback:
+        // an ASCII byte where a continuation belongs may participate in
+        // a match after the decoder's U+FFFD replacement), but the code
+        // point is DECODED only when the lead byte can start one of the
+        // lowercase-introduces-ASCII code points (leadDanger — e.g.
+        // 0xC4 for U+0130, 0xE2 for U+212A); for the overwhelmingly
+        // common safe leads (0xC3 Latin-1, 0xE4-0xE9 CJK, 0xD0 Cyrillic,
+        // …) validation alone suffices: whatever a valid-continuation
+        // sequence decodes to (including overlong/out-of-range →
+        // U+FFFD), its lowercase stays non-ASCII.
         val lead = b & 0xff
         var len = 0
-        var cp = 0
-        if (lead >= 0xc2 && lead <= 0xdf) { len = 2; cp = lead & 0x1f }
-        else if (lead >= 0xe0 && lead <= 0xef) { len = 3; cp = lead & 0x0f }
-        else if (lead >= 0xf0 && lead <= 0xf4) { len = 4; cp = lead & 0x07 }
+        if (lead >= 0xc2 && lead <= 0xdf) len = 2
+        else if (lead >= 0xe0 && lead <= 0xef) len = 3
+        else if (lead >= 0xf0 && lead <= 0xf4) len = 4
         else return null // malformed (stray continuation / overlong lead)
         if (i + len > n) return null // truncated
-        var k = 1
-        while (k < len) {
-          val bk = s.getByte(i + k)
-          if ((bk & 0xc0) != 0x80) return null // malformed
-          cp = (cp << 6) | (bk & 0x3f)
-          k += 1
+        if (MultiContainsMask.leadDanger(lead)) {
+          var cp = lead & (if (len == 2) 0x1f else if (len == 3) 0x0f else 0x07)
+          var k = 1
+          while (k < len) {
+            val bk = s.getByte(i + k)
+            if ((bk & 0xc0) != 0x80) return null // malformed
+            cp = (cp << 6) | (bk & 0x3f)
+            k += 1
+          }
+          // overlong/out-of-range decodes as U+FFFD garbage — bail
+          if (len == 3 && cp < 0x800) return null
+          if (len == 4 && (cp < 0x10000 || cp > 0x10ffff)) return null
+          if (MultiContainsMask.lowersToAscii.get(cp)) return null
+        } else {
+          var k = 1
+          while (k < len) {
+            if ((s.getByte(i + k) & 0xc0) != 0x80) return null // malformed
+            k += 1
+          }
         }
-        // overlong encodings and out-of-range decode as garbage — bail
-        if (len == 3 && cp < 0x800) return null
-        if (len == 4 && (cp < 0x10000 || cp > 0x10ffff)) return null
-        if (MultiContainsMask.lowersToAscii.get(cp)) return null
         i += len
       } else {
         val cand = dispatch(fold(b) & 0xff)
@@ -198,6 +215,28 @@ object MultiContainsMask {
       cp += 1
     }
     bs
+  }
+
+  /** leadDanger(b) = some code point in [[lowersToAscii]] has UTF-8 lead
+    * byte b. A safe lead's sequence is skipped after continuation
+    * validation alone — no decode, no BitSet probe. Surrogate code
+    * points are in the set, so lead 0xED is flagged and surrogate
+    * encodings (malformed UTF-8) still take the exact fallback.
+    */
+  private[functions] lazy val leadDanger: Array[Boolean] = {
+    val d = new Array[Boolean](256)
+    var cp = 0x80
+    while (cp < 0x110000) {
+      if (lowersToAscii.get(cp)) {
+        val lead =
+          if (cp < 0x800) 0xc0 | (cp >> 6)
+          else if (cp < 0x10000) 0xe0 | (cp >> 12)
+          else 0xf0 | (cp >> 18)
+        d(lead) = true
+      }
+      cp += 1
+    }
+    d
   }
 
   /** In tr/az default locales `String.toLowerCase()` maps ASCII 'I' to

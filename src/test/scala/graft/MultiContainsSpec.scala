@@ -149,17 +149,63 @@ class MultiContainsSpec extends SparkTestBase {
       }.reduce(_ | _)
       assert(got == want, s"bytes=${bytes.map(b => f"$b%02x").mkString(" ")}")
     }
-    val cases = Seq[Array[Byte]](
+    val mustBail = Seq[Array[Byte]](
       Array(0x80.toByte) ++ "problem".getBytes("UTF-8"), // stray continuation
       "pro".getBytes("UTF-8") ++ Array(0xc2.toByte),      // truncated 2-byte
-      Array(0xe0.toByte, 0x80.toByte, 0x81.toByte) ++ "step".getBytes("UTF-8"), // overlong
+      Array(0xc3.toByte, 0x41.toByte) ++ "step".getBytes("UTF-8"), // ASCII-as-continuation
       Array(0xf5.toByte, 0x90.toByte) ++ "problem step".getBytes("UTF-8"), // invalid lead
       Array(0xed.toByte, 0xa0.toByte, 0x80.toByte) ++ "step".getBytes("UTF-8")) // surrogate
-    cases.foreach(parity)
-    // and malformed bytes must bail the fast path (exactness by fallback)
-    cases.foreach { bytes =>
+    // overlong with VALID continuations decodes to U+FFFD either way —
+    // the fast path may skip it (leadDanger lets safe leads pass on
+    // continuation validation alone); parity is the requirement
+    val parityOnly = Seq[Array[Byte]](
+      Array(0xe0.toByte, 0x80.toByte, 0x81.toByte) ++ "step".getBytes("UTF-8"))
+    (mustBail ++ parityOnly).foreach(parity)
+    // sequences where a misread byte could join a term match MUST bail
+    mustBail.foreach { bytes =>
       assert(expr.fastScan(UTF8String.fromBytes(bytes)) == null)
     }
+  }
+
+  test("probe: one-pass scan vs per-term fallback on mixed-UTF-8 docs", ProbeTag) {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // the round-3 verdict's at-scale scenario: anchor-free web text that
+    // is mostly non-ASCII — previously every such doc fell back to one
+    // full-text scan PER TERM; now the mask scans once
+    val terms = RlBuilder.V2AnchorTerms
+    val expr = MultiContainsMaskExpr(Literal(UTF8String.fromString("")), terms)
+    val rnd = new scala.util.Random(7)
+    val frag = Array("«jüst»", "naïve", "中文片段", "текст", "résumé—",
+      "“quoted”", "αβγ", "día", "тест", "ordinary", "words", "café…")
+    val docs = Array.fill(200)(
+      UTF8String.fromString(
+        Array.fill(6000)(frag(rnd.nextInt(frag.length))).mkString(" ")))
+    val nonAscii = docs.head.toString.count(_ >= 0x80)
+    assert(nonAscii > 1000, "probe corpus must be non-ASCII-rich")
+    // every doc must take the fast path AND agree with the fallback
+    docs.foreach { d =>
+      val f = expr.fastScan(d)
+      assert(f != null, "fast path bailed on mixed-UTF-8")
+      val lo = d.toLowerCase
+      val want = terms.zipWithIndex.map { case (t, i) =>
+        if (lo.contains(UTF8String.fromString(t))) 1L << i else 0L
+      }.reduce(_ | _)
+      assert(f.longValue() == want)
+    }
+    def minOf3(body: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }.min
+    val tFast = minOf3(docs.foreach(expr.fastScan))
+    val tSlow = minOf3(docs.foreach { d => // the pre-round-4 behavior
+      val lo = d.toLowerCase
+      terms.foreach(t => lo.contains(UTF8String.fromString(t)))
+    })
+    info(f"one-pass mask:      ${tFast * 1e6 / docs.length}%8.1f us/doc (${terms.length} terms, ${docs.head.numBytes()} B docs)")
+    info(f"lower+N-contains:   ${tSlow * 1e6 / docs.length}%8.1f us/doc (the old non-ASCII fallback)")
+    info(f"speedup:            ${tSlow / tFast}%8.1fx on mixed-UTF-8 anchor-free docs")
+    assert(tFast < tSlow, "one-pass scan should beat per-term scans")
   }
 
   test("all-terms-found early exit returns the full mask") {
