@@ -244,6 +244,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // near-dup clusters over the q25 pair graph: every vertex labeled
+    // with its min reachable id (HashMin, O(diameter) rounds); "keep one
+    // doc per cluster" is then filter(id === component)
+    "q50_neardup_components" -> ((s, dir) => {
+      val pairs = graft.similarity.Ann.cosineNearDupPairs(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, numPlanes = 6)
+      graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy("id")
+    }),
+
     // ---- text analysis ----
     "q26_quality_score" -> ((s, dir) => {
       docs(s, dir)
@@ -685,6 +696,28 @@ object SparkEntry {
            |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
            |SELECT DISTINCT id_a, id_b, cos FROM p WHERE cos >= 0.35
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // transitive closure via recursive CTE: min reachable id per vertex
+      // (UNION, not UNION ALL, so the recursion reaches a fixpoint)
+      "q50_neardup_components" ->
+        s"""WITH RECURSIVE
+           |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |b AS (SELECT vec_id, v, (${lshBucketSql(6)}) AS bucket FROM e),
+           |p AS (
+           |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           |    round(list_dot_product(a.v, c.v) /
+           |      sqrt(list_dot_product(a.v, a.v) * list_dot_product(c.v, c.v)), 6) AS cos
+           |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+           |pr AS (SELECT DISTINCT id_a, id_b FROM p WHERE cos >= 0.35),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+           |          UNION ALL SELECT id_b, id_a FROM pr),
+           |verts AS (SELECT DISTINCT src AS id FROM edges),
+           |reach(id, c) AS (
+           |  SELECT id, id FROM verts
+           |  UNION
+           |  SELECT e2.dst, r.c FROM reach r JOIN edges e2 ON e2.src = r.id)
+           |SELECT id, min(c) AS component FROM reach GROUP BY id
+           |ORDER BY id""".stripMargin,
 
       "q26_quality_score" -> {
         val stopSum = graft.lang.LangId.EnglishStopwords10

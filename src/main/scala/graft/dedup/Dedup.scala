@@ -242,4 +242,64 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "inter", "jaccard")
   }
+
+  // ------------------------------------------------------------------
+  // Near-dup CLUSTERS: connected components over a pair list.
+  // ------------------------------------------------------------------
+
+  /** Assign every vertex of the near-dup pair graph (LSH / MinHash-band /
+    * cosine output: `id_a`,`id_b` rows) the MINIMUM id reachable from it
+    * — the canonical duplicate-cluster representative, so "keep one doc
+    * per near-dup cluster" becomes `filter(id === component)`.
+    *
+    * Algorithm: HashMin label propagation. Each round every vertex takes
+    * the min of its own label and its neighbors' labels; converges in
+    * O(graph diameter) rounds. Near-dup graphs are dense clusters with
+    * tiny diameters, so a handful of rounds suffice at any scale. Each
+    * round is two hash-shuffles on the id key (neighbor-min groupBy +
+    * label join) — no cartesian products, no driver-side graph. The
+    * convergence probe is `limit(1)` over changed labels: one early-out
+    * scan, not a full count. Labels and edges are persisted per round
+    * and explicitly unpersisted; at 10^12-doc scale set a checkpoint dir
+    * so the iterated lineage stays bounded (the loop localCheckpoints
+    * every `checkpointEvery` rounds for exactly that reason).
+    *
+    * Output: (id, component) for every vertex that appears in `pairs` —
+    * singleton documents never enter the pair list and keep themselves
+    * by definition.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25,
+                          checkpointEvery: Int = 5): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist()
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(comp.select(col("id").as("src"), col("component")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("component").as("nbr_component"))
+      var next = comp.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("nbr_component"), col("component"))).as("component"))
+      next = if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint()
+             else next.persist()
+      val changed = next.as("n")
+        .join(comp.select(col("id"), col("component").as("old")), "id")
+        .filter(col("component") =!= col("old"))
+        .limit(1).count()
+      comp.unpersist()
+      comp = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    comp
+  }
 }

@@ -144,4 +144,44 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: known clusters get min-id labels") {
+    // {1,2,3} via 1-2, 2-3; {5,6}; {10,11,12} via a triangle
+    val got = components(Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connected components: long path needs multiple propagation rounds") {
+    // path 1-2-...-12 (diameter 11) in the worst edge orientation:
+    // labels must travel the whole chain, exercising the iteration +
+    // convergence probe, not just one round
+    val got = components((1L until 12L).map(i => (i + 1, i)))
+    assert(got == (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("connected components: fixpoint property on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val ids = (0L until 60L)
+    val pairs = Seq.fill(50)((ids(rnd.nextInt(60)), ids(rnd.nextInt(60))))
+      .filter { case (a, b) => a != b }
+    val got = components(pairs)
+    // every vertex in the pair list is labeled; label <= id; and the
+    // labeling is a FIXPOINT: no edge connects two different components
+    val verts = pairs.flatMap { case (a, b) => Seq(a, b) }.toSet
+    assert(got.keySet == verts)
+    got.foreach { case (id, c) => assert(c <= id) }
+    pairs.foreach { case (a, b) => assert(got(a) == got(b),
+      s"edge ($a,$b) crosses components ${got(a)} / ${got(b)}") }
+    // each component's label is a member of the component
+    got.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keySet.contains(c))
+      assert(members.keys.min == c)
+    }
+  }
 }
