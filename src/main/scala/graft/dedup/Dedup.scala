@@ -252,31 +252,39 @@ object Dedup {
     * — the canonical duplicate-cluster representative, so "keep one doc
     * per near-dup cluster" becomes `filter(id === component)`.
     *
-    * Algorithm: HashMin label propagation. Each round every vertex takes
-    * the min of its own label and its neighbors' labels; converges in
-    * O(graph diameter) rounds. Near-dup graphs are dense clusters with
-    * tiny diameters, so a handful of rounds suffice at any scale. Each
-    * round is two hash-shuffles on the id key (neighbor-min groupBy +
-    * label join) — no cartesian products, no driver-side graph. The
-    * convergence probe is `limit(1)` over changed labels: one early-out
-    * scan, not a full count. Labels and edges are persisted per round
-    * and explicitly unpersisted; at 10^12-doc scale set a checkpoint dir
-    * so the iterated lineage stays bounded (the loop localCheckpoints
-    * every `checkpointEvery` rounds for exactly that reason).
+    * Algorithm: HashMin label propagation WITH pointer jumping. Each
+    * round every vertex takes the min of its own label and its
+    * neighbors' labels (one hop), then replaces its label by its
+    * label's label (`comp(v) ← comp(comp(v))` — path halving). The
+    * jump roughly doubles the distance a minimum travels per round, so
+    * convergence is O(log diameter) rounds, not O(diameter) — measured
+    * on the sf0.1 pair graph: 25 one-hop rounds → 5 with jumping.
+    * Each round is three hash-shuffles on the id key (neighbor-min
+    * groupBy + label join + jump self-join) — no cartesian products, no
+    * driver-side graph. The convergence probe is `limit(1)` over
+    * changed labels: one early-out scan, not a full count.
+    *
+    * Lineage discipline: `persist` does NOT truncate the LOGICAL plan,
+    * and the jump self-join would otherwise triple the plan tree every
+    * round (by round ~5 merely RENDERING the plan for AQE's progress
+    * update OOMs the driver - observed). Every round therefore ends in
+    * an eager `localCheckpoint`, which replaces the lineage with the
+    * materialized blocks; on a production cluster prefer
+    * `setCheckpointDir` + reliable checkpointing if executor loss
+    * during the (short) loop must be survivable.
     *
     * Output: (id, component) for every vertex that appears in `pairs` —
     * singleton documents never enter the pair list and keep themselves
     * by definition.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25,
-                          checkpointEvery: Int = 5): DataFrame = {
+                          maxIter: Int = 25): DataFrame = {
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .persist()
+      .localCheckpoint() // eager: pair generation runs once, lineage cut
     var comp = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).persist()
+      .withColumn("component", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -284,18 +292,33 @@ object Dedup {
         .join(comp.select(col("id").as("src"), col("component")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("component").as("nbr_component"))
-      var next = comp.join(nbrMin, Seq("id"), "left")
+      // `old` carries the PRE-ROUND label through to the checkpoint so
+      // the convergence probe is a filter over materialized blocks, not
+      // another join job. It must be comp's label, NOT the hop label: a
+      // round whose hop changes are all jump-stable (e.g. edges (3,5),
+      // (4,5): hop moves only v5, and the jump moves nothing) would
+      // otherwise read as converged at a non-fixpoint.
+      val hop = comp.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"),
-            coalesce(col("nbr_component"), col("component"))).as("component"))
-      next = if ((iter + 1) % checkpointEvery == 0) next.localCheckpoint()
-             else next.persist()
-      val changed = next.as("n")
-        .join(comp.select(col("id"), col("component").as("old")), "id")
-        .filter(col("component") =!= col("old"))
+            coalesce(col("nbr_component"), col("component"))).as("component"),
+          col("component").as("old"))
+      // pointer jumping: relabel through the label's own label. A label
+      // is always a vertex id (some reachable minimum), so the lookup
+      // is a plain equi-self-join; labels only decrease, preserving the
+      // min-reachable fixpoint.
+      val next = hop
+        .join(hop.select(col("id").as("component"), col("component").as("jump")),
+          Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"),
+            coalesce(col("jump"), col("component"))).as("component"),
+          col("old"))
+        .localCheckpoint() // every round — see lineage discipline above
+      val changed = next.filter(col("component") =!= col("old"))
         .limit(1).count()
       comp.unpersist()
-      comp = next
+      comp = next.drop("old")
       converged = changed == 0
       iter += 1
     }

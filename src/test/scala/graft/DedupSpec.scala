@@ -157,6 +157,15 @@ class DedupSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("connected components: jump-stable round must not read as converged") {
+    // edges (3,5),(4,5): round 1's hop moves only v5 (5→3) and the jump
+    // moves nothing — a probe comparing against the hop label (instead
+    // of the pre-round label) would stop here with v4 stranded in its
+    // own component
+    assert(components(Seq((3L, 5L), (4L, 5L))) ==
+      Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
+  }
+
   test("connected components: long path needs multiple propagation rounds") {
     // path 1-2-...-12 (diameter 11) in the worst edge orientation:
     // labels must travel the whole chain, exercising the iteration +
