@@ -325,4 +325,20 @@ object Dedup {
     edges.unpersist()
     comp
   }
+
+  /** One document per near-dup cluster: drops every row whose id appears
+    * in `pairs` with a smaller reachable id (keeps cluster minima);
+    * singletons — never in the pair list — are kept untouched. The
+    * non-keeper set is component-labeled vertices with id ≠ component:
+    * at most |pairs|-graph vertices, broadcast when small, hash
+    * anti-join otherwise (Spark picks via AQE).
+    */
+  def nearDupSurvivors(df: DataFrame, idCol: String,
+                       pairs: DataFrame, aCol: String = "id_a",
+                       bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

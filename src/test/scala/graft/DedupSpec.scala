@@ -174,6 +174,15 @@ class DedupSpec extends SparkTestBase {
     assert(got == (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("nearDupSurvivors keeps cluster minima and all singletons") {
+    val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
+    val kept = Dedup.nearDupSurvivors(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // clusters {2,3,4} -> keep 2; {6,7} -> keep 6; singletons 1,5,8 kept
+    assert(kept == Set(1L, 2L, 5L, 6L, 8L))
+  }
+
   test("connected components: fixpoint property on a random graph") {
     val rnd = new scala.util.Random(42)
     val ids = (0L until 60L)
