@@ -698,7 +698,11 @@ object SparkEntry {
            |ORDER BY id_a, id_b""".stripMargin,
 
       // transitive closure via recursive CTE: min reachable id per vertex
-      // (UNION, not UNION ALL, so the recursion reaches a fixpoint)
+      // (UNION, not UNION ALL, so the recursion reaches a fixpoint).
+      // Oracle-scale only: reach holds one row per (vertex, reachable id)
+      // — O(|component|^2) for a dense cluster, fine at the driver's SFs
+      // (largest fixture component ~100 vertices); the Spark side's
+      // HashMin+jump loop is the scale path
       "q50_neardup_components" ->
         s"""WITH RECURSIVE
            |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -317,12 +317,16 @@ object Dedup {
         .localCheckpoint() // every round — see lineage discipline above
       val changed = next.filter(col("component") =!= col("old"))
         .limit(1).count()
-      comp.unpersist()
+      // Dataset.unpersist is a NO-OP for localCheckpoint blocks (they
+      // are RDD-level storage, not CacheManager entries) — release the
+      // previous round's blocks through the bridge or every round's
+      // checkpoint lingers until ContextCleaner GC
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(comp)
       comp = next.drop("old")
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(edges)
     comp
   }
 

@@ -17,7 +17,7 @@ package graft.derive
   * under tr/az default locales, where "FIRST".toLowerCase becomes
   * "fırst" and the guard would skip a regex that does match.
   */
-private[derive] object AnchorGuard {
+private[graft] object AnchorGuard {
 
   @inline def asciiLower(s: String): String = {
     if (s == null) return ""

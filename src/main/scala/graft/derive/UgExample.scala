@@ -154,8 +154,10 @@ object UgExample {
       !UgBuilders.UgEnhAvoidTerms.exists(lo.contains)
   }
 
-  def solutionSteps(c: String): Array[String] = {
-    val fold = asciiLower(c)
+  def solutionSteps(c: String): Array[String] =
+    solutionStepsFold(c, asciiLower(c))
+
+  private[derive] def solutionStepsFold(c: String, fold: String): Array[String] = {
     val pattern = ArrayBuffer.empty[String]
     var pi = 0
     stepPs.foreach { case (p, g) =>
@@ -185,8 +187,10 @@ object UgExample {
     case (p, g) => (Pattern.compile(p), g)
   }
 
-  def problemStatement(c: String): String = {
-    val fold = asciiLower(c)
+  def problemStatement(c: String): String =
+    problemStatementFold(c, asciiLower(c))
+
+  private[derive] def problemStatementFold(c: String, fold: String): String = {
     var pi = 0
     stmtPs.foreach { case (p, g) =>
       if (anchored(fold, StmtAnchors(pi))) {
@@ -203,8 +207,9 @@ object UgExample {
 
   // ---- UgBuilders.ugDifficulty -------------------------------------
 
-  def difficulty(c: String): String = {
-    val lo = sparkLower(c)
+  def difficulty(c: String): String = difficultyLo(sparkLower(c))
+
+  private[derive] def difficultyLo(lo: String): String = {
     val adv = UgBuilders.UgAdvanced.count(lo.contains)
     val inter = UgBuilders.UgIntermediate.count(lo.contains)
     if (adv >= 2) "advanced"
@@ -214,8 +219,10 @@ object UgExample {
 
   // ---- Extract.topic / reasoningType / prerequisites / concepts ----
 
-  def topic(c: String, subject: String): String = {
-    val lo = sparkLower(c)
+  def topic(c: String, subject: String): String =
+    topicLo(sparkLower(c), subject)
+
+  private[derive] def topicLo(lo: String, subject: String): String = {
     val scores = Extract.TopicKeywords.map { case (t, kws) =>
       t -> kws.count(lo.contains)
     }
@@ -228,14 +235,17 @@ object UgExample {
     }
   }
 
-  def reasoningType(c: String): String = {
-    val lo = sparkLower(c)
+  def reasoningType(c: String): String = reasoningTypeLo(sparkLower(c))
+
+  private[derive] def reasoningTypeLo(lo: String): String = {
     Extract.ReasoningTypeCues.find { case (_, cues) => cues.exists(lo.contains) }
       .map(_._1).getOrElse("reasoning_chain")
   }
 
-  def prerequisites(c: String): Array[String] = {
-    val lo = sparkLower(c)
+  def prerequisites(c: String): Array[String] =
+    prerequisitesLo(sparkLower(c))
+
+  private[derive] def prerequisitesLo(lo: String): Array[String] = {
     Extract.PrereqIndicators.collect {
       case (name, inds) if inds.exists(lo.contains) => name
     }.toArray
@@ -246,8 +256,9 @@ object UgExample {
   /** array_distinct keeps the FIRST occurrence — mirrored with an
     * insertion-ordered set.
     */
-  def concepts(c: String): Array[String] = {
-    val fold = asciiLower(c)
+  def concepts(c: String): Array[String] = conceptsFold(c, asciiLower(c))
+
+  private[derive] def conceptsFold(c: String, fold: String): Array[String] = {
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     var pi = 0
     conceptPs.foreach { p =>
@@ -276,16 +287,20 @@ object UgExample {
       (if (s == null) null else UTF8String.fromString(s)): Any))
 
   def metaRow(cleaned: String, subject: String): AnyRef = {
-    val steps = solutionSteps(cleaned)
+    // one Spark-lower and one ASCII fold for the whole block — the
+    // helpers otherwise re-scan the identical string 7 times
+    val lo = sparkLower(cleaned)
+    val fold = asciiLower(cleaned)
+    val steps = solutionStepsFold(cleaned, fold)
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString(problemStatement(cleaned)),
+      UTF8String.fromString(problemStatementFold(cleaned, fold)),
       strArr(steps),
       steps.length,
-      UTF8String.fromString(difficulty(cleaned)),
-      UTF8String.fromString(topic(cleaned, subject)),
-      UTF8String.fromString(reasoningType(cleaned)),
-      strArr(prerequisites(cleaned)),
-      strArr(concepts(cleaned)),
+      UTF8String.fromString(difficultyLo(lo)),
+      UTF8String.fromString(topicLo(lo, subject)),
+      UTF8String.fromString(reasoningTypeLo(lo)),
+      strArr(prerequisitesLo(lo)),
+      strArr(conceptsFold(cleaned, fold)),
       UTF8String.fromString(graft.extract.Clean.limitRawTextStr(cleaned))))
   }
 }

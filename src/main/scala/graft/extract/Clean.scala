@@ -43,6 +43,23 @@ object Clean {
     if (ascii) s.toLowerCase(java.util.Locale.ROOT) else s.toLowerCase()
   }
 
+  /** Mirror of Spark's `substring(c, 1, len)` prefix: Spark counts CODE
+    * POINTS (UTF8String.substringSQL) while Java's `String.substring`
+    * counts UTF-16 units — they differ once astral characters appear
+    * before the cut. O(len), not O(|s|): a string of ≤ len UTF-16 units
+    * cannot exceed len code points.
+    */
+  @inline private[graft] def sparkSubstr(s: String, len: Int): String = {
+    if (s.length <= len) return s
+    var idx = 0
+    var cp = 0
+    while (cp < len && idx < s.length) {
+      idx = s.offsetByCodePoints(idx, 1)
+      cp += 1
+    }
+    if (idx >= s.length) s else s.substring(0, idx)
+  }
+
   // ---------------------------------------------------------------------
   // C1 — basic clean (reference: analysis/pdf_processor.py:67-73)
   // order: \s+ -> ' ' ; strip non-ASCII ; ligatures ; strip
@@ -296,11 +313,20 @@ object Clean {
   def limitRawTextStr(t: String): String = {
     if (t == null) return ""
     // mirror the Column form exactly: `length`/`substring` count code
-    // points (UTF8String.numChars/substringSQL), `trim` strips ' ' only
+    // points (UTF8String.numChars/substringSQL), `trim` strips ' ' only.
+    // O(min(n, 1500)): ≤1500 UTF-16 units can't exceed 1500 code points,
+    // and the walk stops at the 1500th code point either way
     val s =
-      if (t.codePointCount(0, t.length) > 1500)
-        t.substring(0, t.offsetByCodePoints(0, 1500)) + "..."
-      else t
+      if (t.length <= 1500) t
+      else {
+        var idx = 0
+        var cp = 0
+        while (cp < 1500 && idx < t.length) {
+          idx = t.offsetByCodePoints(idx, 1)
+          cp += 1
+        }
+        if (idx >= t.length) t else t.substring(0, idx) + "..."
+      }
     var a = 0; var b = s.length
     while (a < b && s.charAt(a) == ' ') a += 1
     while (b > a && s.charAt(b - 1) == ' ') b -= 1

@@ -204,13 +204,17 @@ object GraftFunctions {
   /** Register on a live session. Idempotent — and quiet about it:
     * `createOrReplaceTempFunction` on an existing name logs a
     * "replaced a previously registered function" WARN, and Pipeline
-    * calls this once per query, so skip names already present.
+    * calls this once per query. The idempotence check is a per-session
+    * marker conf, NOT `functionExists`: a pre-existing FOREIGN temp
+    * function with a graft name must still be replaced on the first
+    * call (the createOrReplace contract), and a name check would leave
+    * it silently shadowing graft's implementation.
     */
   def register(spark: SparkSession): Unit = {
+    if (spark.conf.getOption(RegisteredMarker).contains("true")) return
     val reg = spark.sessionState.functionRegistry
     def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
-      if (!reg.functionExists(FunctionIdentifier(name)))
-        reg.createOrReplaceTempFunction(name, builder, "built-in")
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
     reg1("pii_scrub", exprs => PiiScrubExpr(exprs.head))
     reg1("graft_token_stats", exprs => graft.rules.TokenStatsExpr(exprs.head))
     reg1("graft_pattern_counts",
@@ -219,7 +223,10 @@ object GraftFunctions {
     reg1("graft_perplexity", exprs => PerplexityExpr(exprs.head))
     reg1("graft_simhash", exprs => graft.dedup.SimHashExpr(exprs.head))
     reg1("graft_extract_clean", exprs => ExtractCleanExpr(exprs.head))
+    spark.conf.set(RegisteredMarker, "true")
   }
+
+  private val RegisteredMarker = "spark.graft.functionsRegistered"
 
   /** SparkSessionExtensions injection point (for spark-submit via
     * spark.sql.extensions=graft.functions.GraftExtensions) — registers

@@ -48,11 +48,14 @@ object LangId {
   def isEnglishStopword(text: Column, threshold: Int = 3): Column =
     englishStopwordCount(text) >= threshold
 
-  /** Plain-Scala mirror for the oracle. */
+  /** Plain-Scala mirror for the oracle — exact Column semantics:
+    * code-point sampling (Spark substring) + Spark lower (sparkLower).
+    */
   def englishStopwordCountStr(text: String, words: Seq[String] = EnglishStopwords10,
                               sampleLen: Int = 1000): Int = {
     if (text == null) return 0
-    val sample = text.substring(0, math.min(text.length, sampleLen)).toLowerCase(java.util.Locale.ROOT)
+    val sample = graft.extract.Clean.sparkLower(
+      graft.extract.Clean.sparkSubstr(text, sampleLen))
     words.count(sample.contains)
   }
 

@@ -52,7 +52,9 @@ object RefOracle {
     val isVixra = url != null && url.toLowerCase(java.util.Locale.ROOT).contains("vixra")
     val enThreshold = if (isVixra) 2 else 3
     val termThreshold = if (isVixra) 1 else 2
-    val sample = text.substring(0, math.min(text.length, 1000)).toLowerCase(java.util.Locale.ROOT)
+    // Python slices by code points and str.lower() ~ ROOT lowercase
+    val sample = graft.extract.Clean.sparkSubstr(text, 1000)
+      .toLowerCase(java.util.Locale.ROOT)
     val enCount = LangId.englishStopwordCountStr(text)
     val termCount =
       Heuristics.containsMembershipCountStr(sample, Heuristics.PhysicsIndicators) +

@@ -74,7 +74,9 @@ object Stages {
   }
   def dimPhysicsAssumptionsStr(text: String): Double = {
     if (text == null || text.trim.isEmpty) return 5.0
-    val sample = text.substring(0, math.min(text.length, 5000)).toLowerCase(java.util.Locale.ROOT)
+    // exact Column mirror: code-point sample + Spark lower
+    val sample = graft.extract.Clean.sparkLower(
+      graft.extract.Clean.sparkSubstr(text, 5000))
     val cnt = Heuristics.containsMembershipCountStr(sample, AssumptionTerms)
     clamp110d(10.0 - cnt.toDouble)
   }

@@ -90,8 +90,11 @@ class UgProfileProbe extends SparkTestBase {
       "stmt1 (Problem:)" -> Seq(Seq("problem", "question")),
       "stmt2 (Given/Find)" -> Seq(Seq("given", "consider", "find",
         "calculate", "determine", "show", "prove")),
-      "stmt3 (A particle)" -> Seq(Seq("particle", "wave", "field", "system")))
-    val lowered = cleaned.map(graft.extract.Clean.sparkLower)
+      "stmt3 (A particle)" -> Seq(Seq("a"),
+        Seq("particle", "wave", "field", "system")))
+    // measure with the GUARD's own folding (ASCII-only), not sparkLower —
+    // the rates must describe what AnchorGuard.anchored actually sees
+    val lowered = cleaned.map(graft.derive.AnchorGuard.asciiLower)
     stepAnchors.foreach { case (name, groups) =>
       val present = lowered.count(lo => groups.forall(_.exists(lo.contains)))
       info(f"$name%-24s anchors present in ${present * 100.0 / lowered.length}%5.1f%% of ${lowered.length} blocks")
