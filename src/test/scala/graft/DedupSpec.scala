@@ -174,6 +174,19 @@ class DedupSpec extends SparkTestBase {
     assert(got == (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("connected components works over string ids (urls)") {
+    // the operator is type-generic: labels are MIN over the id type's
+    // ordering — for urls that is lexicographic, still a deterministic
+    // canonical representative
+    val pairs = Seq(("http://b", "http://c"), ("http://c", "http://a"),
+      ("http://z", "http://y")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("http://a" -> "http://a", "http://b" -> "http://a",
+      "http://c" -> "http://a", "http://y" -> "http://y",
+      "http://z" -> "http://y"))
+  }
+
   test("nearDupSurvivors keeps cluster minima and all singletons") {
     val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
