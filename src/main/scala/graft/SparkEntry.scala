@@ -255,6 +255,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Gopher/C4 repetition + shape signals (north_star: "repetition
+    // n-gram dedup signals ... as Catalyst expressions") + the composite
+    // pre-filter keep rule
+    "q51_gopher_stats" -> ((s, dir) => {
+      import graft.rules.Heuristics
+      val t = col("text")
+      docs(s, dir).select(col("doc_id"),
+        round(Heuristics.dupLineFraction(t), 6).as("dup_line_frac"),
+        round(Heuristics.dupNgramFraction(t, 3), 6).as("dup_3gram_frac"),
+        round(Heuristics.meanWordLength(t), 6).as("mean_word_len"),
+        round(Heuristics.symbolRatio(t), 6).as("symbol_ratio"),
+        round(Heuristics.stopwordRatio(t), 6).as("stopword_ratio"),
+        Heuristics.gopherKeep(t).as("gopher_keep"))
+        .orderBy("doc_id")
+    }),
+
     // ---- text analysis ----
     "q26_quality_score" -> ((s, dir) => {
       docs(s, dir)
@@ -722,6 +738,52 @@ object SparkEntry {
            |  SELECT e2.dst, r.c FROM reach r JOIN edges e2 ON e2.src = r.id)
            |SELECT id, min(c) AS component FROM reach GROUP BY id
            |ORDER BY id""".stripMargin,
+
+      // per-row ratios of small integers: IEEE division is identical in
+      // both engines, so round(x, 6) is hash-stable (the integer-cents
+      // rule is for order-dependent SUMS, not per-row ratios); the keep
+      // rule compares the UNROUNDED values like the Spark side
+      "q51_gopher_stats" ->
+        """WITH g AS (
+          |  SELECT doc_id, text,
+          |    list_filter(list_transform(string_split(text, chr(10)),
+          |      x -> trim(x)), x -> length(x) > 0) AS lines,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |      x -> length(x) > 0) AS ltok,
+          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |      x -> length(x) > 0) AS tok
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id, text, lines, ltok, tok,
+          |    CASE WHEN len(ltok) < 3 THEN CAST([] AS VARCHAR[])
+          |      ELSE list_transform(generate_series(1, len(ltok) - 2),
+          |        i -> ltok[i] || ' ' || ltok[i+1] || ' ' || ltok[i+2]) END AS grams
+          |  FROM g),
+          |r AS (
+          |  SELECT doc_id, text, tok,
+          |    CASE WHEN len(lines) = 0 THEN 0.0
+          |      ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END AS dl,
+          |    CASE WHEN len(grams) = 0 THEN 0.0
+          |      ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) END AS dg,
+          |    CASE WHEN len(tok) = 0 THEN 0.0
+          |      ELSE CAST(list_aggregate(list_transform(tok, x -> length(x)), 'sum') AS DOUBLE) / len(tok) END AS mwl,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |      ELSE CAST(length(regexp_replace(text, '[[:alnum:]\s]', '', 'g')) AS DOUBLE) / length(text) END AS sym,
+          |    CASE WHEN len(tok) = 0 THEN 0.0
+          |      ELSE CAST(len(list_filter(tok, x -> list_contains(
+          |        ['the','and','of','to','a','in','that','is','for','with'],
+          |        lower(x)))) AS DOUBLE) / len(tok) END AS swr
+          |  FROM h)
+          |SELECT doc_id,
+          |  round(dl, 6) AS dup_line_frac,
+          |  round(dg, 6) AS dup_3gram_frac,
+          |  round(mwl, 6) AS mean_word_len,
+          |  round(sym, 6) AS symbol_ratio,
+          |  round(swr, 6) AS stopword_ratio,
+          |  (length(trim(text)) >= 50 AND len(tok) BETWEEN 10 AND 200000
+          |    AND mwl BETWEEN 2.0 AND 12.0 AND sym < 0.30
+          |    AND dl < 0.50 AND dg < 0.80) AS gopher_keep
+          |FROM r ORDER BY doc_id""".stripMargin,
 
       "q26_quality_score" -> {
         val stopSum = graft.lang.LangId.EnglishStopwords10

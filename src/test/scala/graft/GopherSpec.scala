@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.rules.Heuristics
+
+/** Gopher/C4 repetition + shape signals (north_star "repetition n-gram
+  * dedup signals"): value-level checks on constructed documents; the
+  * cross-engine check is the q51 DuckDB oracle over `documents`.
+  */
+class GopherSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).head().get(0)
+
+  test("dupLineFraction counts repeated non-empty trimmed lines") {
+    assert(one("a\na\nb", Heuristics.dupLineFraction(col("text")))
+      .asInstanceOf[Double] == 1.0 - 2.0 / 3.0)
+    // blank and whitespace-only lines are excluded before counting
+    assert(one("a\n\n  \na", Heuristics.dupLineFraction(col("text")))
+      .asInstanceOf[Double] == 0.5)
+    assert(one("", Heuristics.dupLineFraction(col("text"))) == 0.0)
+  }
+
+  test("dupNgramFraction measures repeated word n-grams, case-folded") {
+    // tokens: x y x y x → 2-grams [x y, y x, x y, y x] → 1 - 2/4
+    assert(one("x y X Y x", Heuristics.dupNgramFraction(col("text"), 2))
+      .asInstanceOf[Double] == 0.5)
+    // fewer tokens than n → no grams → 0.0
+    assert(one("only two", Heuristics.dupNgramFraction(col("text"), 3)) == 0.0)
+    // all-distinct grams → 0.0
+    assert(one("a b c d e", Heuristics.dupNgramFraction(col("text"), 3)) == 0.0)
+  }
+
+  test("meanWordLength averages code-point token lengths") {
+    assert(one("ab cdef", Heuristics.meanWordLength(col("text")))
+      .asInstanceOf[Double] == 3.0)
+    assert(one("", Heuristics.meanWordLength(col("text"))) == 0.0)
+  }
+
+  test("gopherKeep composite: natural text passes, degenerate text fails") {
+    val natural = ("the model predicts that energy is conserved in a closed " +
+      "system and we can derive the relation for momentum with care ") * 3
+    val repeatedLines = Array.fill(20)("spam spam spam spam line").mkString("\n")
+    val symbols = "@#$%^&*(){}[]<>~`|" * 20
+    val tooShort = "tiny"
+    val df = Seq(natural, repeatedLines, symbols, tooShort).toDF("text")
+    val got = df.select(Heuristics.gopherKeep(col("text")).as("k"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, false, false, false))
+  }
+}
