@@ -122,7 +122,7 @@ object RlExample {
 
   // necessary literals per Extract.StepPatterns prefix alternation —
   // AnchorGuard (ASCII fold, matching the patterns' bare `(?i)`)
-  private val StepAnchors: Array[Array[Array[String]]] = Array(
+  private[graft] val StepAnchors: Array[Array[Array[String]]] = Array(
     Array(Array("step", "first", "next", "then", "finally")),
     Array(Array("we have", "we get", "we find", "we obtain", "we use")),
     Array(Array("from", "using", "by", "since")),

@@ -42,7 +42,7 @@ object StepExtract {
 
   // necessary literals per AnalyserStepPatterns prefix alternation —
   // AnchorGuard (ASCII fold, matching the patterns' bare `(?i)`)
-  private val StepAnchors: Array[Array[Array[String]]] = Array(
+  private[graft] val StepAnchors: Array[Array[Array[String]]] = Array(
     Array(Array("step", "first", "second", "third", "next", "then",
       "finally", "therefore", "hence", "thus")),
     Array(Array("we have", "we get", "we obtain", "we find",

@@ -117,7 +117,7 @@ object UgExample {
 
   import AnchorGuard.{anchored, asciiLower}
 
-  private val StepAnchors: Array[Array[Array[String]]] = Array(
+  private[graft] val StepAnchors: Array[Array[Array[String]]] = Array(
     Array(Array("step", "first", "initially", "next", "then", "finally")),
     Array(Array("using", "applying", "from", "by"),
       Array("equation", "formula", "law", "principle", "conservation")),
@@ -128,13 +128,13 @@ object UgExample {
       Array("energy", "force", "momentum", "velocity", "acceleration")),
     Array(Array("solving", "calculating", "finding", "determining")))
 
-  private val StmtAnchors: Array[Array[Array[String]]] = Array(
+  private[graft] val StmtAnchors: Array[Array[Array[String]]] = Array(
     Array(Array("problem", "question")),
     Array(Array("given", "consider", "find", "calculate", "determine",
       "show", "prove")),
     Array(Array("a"), Array("particle", "wave", "field", "system")))
 
-  private val ConceptAnchors: Array[Array[Array[String]]] = Array(
+  private[graft] val ConceptAnchors: Array[Array[Array[String]]] = Array(
     Array(Array("conservation of", "principle of", "law of")),
     Array(Array("theorem", "equation", "formula", "relation",
       "transformation")),
