@@ -278,7 +278,23 @@ object Dedup {
     * by definition.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          collectThreshold: Int = 1 << 22): DataFrame = {
+    // Adaptive strategy, same shape as Spark's broadcast-join threshold:
+    // the near-dup PAIR graph is usually orders of magnitude smaller
+    // than the corpus (pairs are the post-verification survivors), so
+    // when it fits the driver comfortably (default ≤ ~4M edges — the
+    // memory scale of a broadcast side), one collect + union-find with
+    // path compression beats 10+ iterative Spark jobs outright. The
+    // `limit(threshold+1).count()` probe stops scanning early for huge
+    // graphs, which then take the distributed HashMin+jump loop below.
+    // Labels are identical on both paths (min reachable id, with
+    // Spark's OWN orderings — UTF8String binary compare for strings);
+    // DedupSpec proves path equivalence on random graphs.
+    if (collectThreshold > 0 &&
+        pairs.limit(collectThreshold + 1).count() <= collectThreshold) {
+      return unionFindComponents(pairs, aCol, bCol)
+    }
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -328,6 +344,64 @@ object Dedup {
     }
     org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(edges)
     comp
+  }
+
+  /** `<` under the SAME ordering Spark's `min()` uses for the id type:
+    * strings compare as UTF8String (binary UTF-8 bytes — Java
+    * String.compareTo differs for supplementary characters), everything
+    * else by its natural Comparable.
+    */
+  private def sparkLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+    case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+  }
+
+  /** Driver-side components for bounded pair lists: union-find with path
+    * compression + union by rank, then min-id labels per root. O(E α(V)).
+    */
+  private def unionFindComponents(pairs: DataFrame, aCol: String,
+                                  bCol: String): DataFrame = {
+    import scala.collection.mutable
+    val spark = pairs.sparkSession
+    val rows = pairs.select(col(aCol), col(bCol)).collect()
+    val parent = mutable.HashMap.empty[Any, Any]
+    val rank = mutable.HashMap.empty[Any, Int]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        val (hi, lo) =
+          if (rank.getOrElse(ra, 0) >= rank.getOrElse(rb, 0)) (ra, rb)
+          else (rb, ra)
+        parent(lo) = hi
+        if (rank.getOrElse(ra, 0) == rank.getOrElse(rb, 0))
+          rank(hi) = rank.getOrElse(hi, 0) + 1
+      }
+    }
+    val label = mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      if (!label.contains(r) || sparkLt(v, label(r))) label(r) = v
+    }
+    val out = parent.keys.toSeq.map(v =>
+      org.apache.spark.sql.Row(v, label(find(v))))
+    val idType = pairs.schema(aCol).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out,
+        math.max(1, spark.sparkContext.defaultParallelism)), schema)
   }
 
   /** One document per near-dup cluster: drops every row whose id appears

@@ -145,16 +145,22 @@ class DedupSpec extends SparkTestBase {
     assert(a == b)
   }
 
-  private def components(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b")
+  // both strategies: the default size-gated driver union-find, and the
+  // distributed HashMin+jump loop (forced via collectThreshold = 0)
+  private def components(pairs: Seq[(Long, Long)],
+                         collectThreshold: Int = 1 << 22): Map[Long, Long] =
+    Dedup.connectedComponents(pairs.toDF("id_a", "id_b"), "id_a", "id_b",
+        collectThreshold = collectThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  test("connected components: known clusters get min-id labels") {
+  test("connected components: known clusters get min-id labels (both paths)") {
     // {1,2,3} via 1-2, 2-3; {5,6}; {10,11,12} via a triangle
-    val got = components(Seq((1L, 2L), (2L, 3L), (5L, 6L),
-      (10L, 11L), (11L, 12L), (10L, 12L)))
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L)
+    assert(components(pairs) == want)                      // union-find
+    assert(components(pairs, collectThreshold = 0) == want) // loop
   }
 
   test("connected components: jump-stable round must not read as converged") {
@@ -162,15 +168,16 @@ class DedupSpec extends SparkTestBase {
     // moves nothing — a probe comparing against the hop label (instead
     // of the pre-round label) would stop here with v4 stranded in its
     // own component
-    assert(components(Seq((3L, 5L), (4L, 5L))) ==
+    assert(components(Seq((3L, 5L), (4L, 5L)), collectThreshold = 0) ==
       Map(3L -> 3L, 4L -> 3L, 5L -> 3L))
   }
 
   test("connected components: long path needs multiple propagation rounds") {
     // path 1-2-...-12 (diameter 11) in the worst edge orientation:
     // labels must travel the whole chain, exercising the iteration +
-    // convergence probe, not just one round
-    val got = components((1L until 12L).map(i => (i + 1, i)))
+    // convergence probe, not just one round — force the LOOP path
+    val got = components((1L until 12L).map(i => (i + 1, i)),
+      collectThreshold = 0)
     assert(got == (1L to 12L).map(_ -> 1L).toMap)
   }
 
@@ -180,11 +187,15 @@ class DedupSpec extends SparkTestBase {
     // canonical representative
     val pairs = Seq(("http://b", "http://c"), ("http://c", "http://a"),
       ("http://z", "http://y")).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got == Map("http://a" -> "http://a", "http://b" -> "http://a",
+    val want = Map("http://a" -> "http://a", "http://b" -> "http://a",
       "http://c" -> "http://a", "http://y" -> "http://y",
-      "http://z" -> "http://y"))
+      "http://z" -> "http://y")
+    for (thr <- Seq(1 << 22, 0)) {
+      val got = Dedup.connectedComponents(pairs, "id_a", "id_b",
+          collectThreshold = thr)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == want, s"threshold=$thr")
+    }
   }
 
   test("nearDupSurvivors keeps cluster minima and all singletons") {
@@ -201,7 +212,10 @@ class DedupSpec extends SparkTestBase {
     val ids = (0L until 60L)
     val pairs = Seq.fill(50)((ids(rnd.nextInt(60)), ids(rnd.nextInt(60))))
       .filter { case (a, b) => a != b }
-    val got = components(pairs)
+    val got = components(pairs, collectThreshold = 0)
+    // the two strategies must agree exactly (the q50 oracle checks the
+    // default path; this pins loop == union-find)
+    assert(got == components(pairs))
     // every vertex in the pair list is labeled; label <= id; and the
     // labeling is a FIXPOINT: no edge connects two different components
     val verts = pairs.flatMap { case (a, b) => Seq(a, b) }.toSet
