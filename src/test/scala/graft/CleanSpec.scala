@@ -155,4 +155,44 @@ class CleanSpec extends SparkTestBase {
       assert(Clean.basicCleanStr(twice) == twice, s"<$in>")
     }
   }
+
+  test("sparkLower equals UTF8String.toLowerCase on arbitrary strings (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the mirror claim is read off the spark-unsafe bytecode; this pins
+    // it against the RUNNING jar: full-ASCII byte-fold, else the
+    // default-locale slow path — including İ/K/ſ, ligatures, astral
+    val gen: Gen[String] = Gen.frequency(
+      3 -> Gen.asciiPrintableStr,
+      2 -> Gen.listOf(Gen.oneOf("İ", "K", "ſ", "ﬁ", "ß", "Σ", "ΣΑ",
+        "ÀÉÎ", "中文", "🎉", "I", "AbC", " ", "\n")).map(_.mkString),
+      1 -> Gen.listOf(Gen.choose(0x20.toChar, 0x2FF.toChar)).map(_.mkString))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000),
+      Prop.forAll(gen) { s =>
+        Clean.sparkLower(s) == UTF8String.fromString(s).toLowerCase.toString
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("sparkSubstr equals Spark substring(c,1,len) on arbitrary strings (property)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen: Gen[(String, Int)] = for {
+      s <- Gen.frequency(
+        2 -> Gen.asciiPrintableStr,
+        1 -> Gen.listOf(Gen.oneOf("🎉", "𐐀", "x", "中", "é", "a b"))
+          .map(_.mkString))
+      n <- Gen.chooseNum(0, 12)
+    } yield (s, n)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000),
+      Prop.forAll(gen) { case (s, n) =>
+        // Spark's substring(c, 1, n) = UTF8String.substringSQL(1, n):
+        // code-point window, the thing Java's String.substring is not
+        Clean.sparkSubstr(s, n) ==
+          UTF8String.fromString(s).substringSQL(1, n).toString
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
