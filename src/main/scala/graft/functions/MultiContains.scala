@@ -75,6 +75,19 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
     d.map(_.reverse.toArray)
   }
 
+  /** 256-bit bitmap over folded first bytes: most document bytes start
+    * no term, and one load + bit test beats the two dependent array
+    * loads of a dispatch probe on that common path.
+    */
+  @transient private lazy val firstByteBits: Array[Long] = {
+    val bits = new Array[Long](4)
+    termBytes.foreach { tb =>
+      val b0 = tb(0) & 0xff
+      bits(b0 >> 6) |= 1L << (b0 & 63)
+    }
+    bits
+  }
+
   private def fold(b: Byte): Byte =
     if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
 
@@ -139,7 +152,11 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
         }
         i += len
       } else {
-        val cand = dispatch(fold(b) & 0xff)
+        val fb = fold(b) & 0xff
+        if ((firstByteBits(fb >> 6) & (1L << (fb & 63))) == 0L) {
+          i += 1
+        } else {
+        val cand = dispatch(fb)
         var j = 0
         while (j < cand.length) {
           val ti = cand(j)
@@ -162,6 +179,7 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
           j += 1
         }
         i += 1
+        }
       }
     }
     java.lang.Long.valueOf(mask)
