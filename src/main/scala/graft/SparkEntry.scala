@@ -259,15 +259,18 @@ object SparkEntry {
     // n-gram dedup signals ... as Catalyst expressions") + the composite
     // pre-filter keep rule
     "q51_gopher_stats" -> ((s, dir) => {
-      import graft.rules.Heuristics
-      val t = col("text")
-      docs(s, dir).select(col("doc_id"),
-        round(Heuristics.dupLineFraction(t), 6).as("dup_line_frac"),
-        round(Heuristics.dupNgramFraction(t, 3), 6).as("dup_3gram_frac"),
-        round(Heuristics.meanWordLength(t), 6).as("mean_word_len"),
-        round(Heuristics.symbolRatio(t), 6).as("symbol_ratio"),
-        round(Heuristics.stopwordRatio(t), 6).as("stopword_ratio"),
-        Heuristics.gopherKeep(t).as("gopher_keep"))
+      // one tokenizer pass per row (Let-bound arrays inside gopherStats)
+      // behind a ComputeOnce barrier — the individual-Column composition
+      // re-tokenized ~20x per row under CollapseProject
+      graft.functions.ComputeOnce(docs(s, dir), "__g",
+        graft.rules.Heuristics.gopherStats(col("text")))
+        .select(col("doc_id"),
+          col("__g.dup_line_frac").as("dup_line_frac"),
+          col("__g.dup_3gram_frac").as("dup_3gram_frac"),
+          col("__g.mean_word_len").as("mean_word_len"),
+          col("__g.symbol_ratio").as("symbol_ratio"),
+          col("__g.stopword_ratio").as("stopword_ratio"),
+          col("__g.gopher_keep").as("gopher_keep"))
         .orderBy("doc_id")
     }),
 

@@ -282,4 +282,52 @@ object Heuristics {
       symbolRatio(c) < 0.30 &&
       dupLineFraction(c) < 0.50 &&
       dupNgramFraction(c, 3) < 0.80
+
+  /** All Gopher signals + the keep rule in ONE pass per row. The naive
+    * composition above is correct but CollapseProject inlines the
+    * tokenizer into every reference (~20 copies of the token array per
+    * row in q51's original plan — the round-2 trap); here the line,
+    * token, and n-gram arrays are Let-bound once and every ratio reads
+    * the binding. Field values are IDENTICAL to the individual
+    * functions (GopherSpec equality test); consume behind a ComputeOnce
+    * barrier so the struct itself is not re-inlined per field.
+    */
+  def gopherStats(c: Column, n: Int = 3): Column = {
+    import graft.functions.Let
+    val ratio: (Column, Column) => Column =
+      (num, den) => num.cast("double") / den.cast("double")
+    Let(filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)) { lines =>
+      Let(when(c.isNull, array().cast("array<string>")).otherwise(tokens(c))) { tok =>
+        Let(when(c.isNull, array().cast("array<string>"))
+          .otherwise(tokens(lower(c)))) { ltok =>
+          val cnt = size(ltok) - (n - 1)
+          Let(when(cnt <= 0, array().cast("array<string>")).otherwise(
+            transform(sequence(lit(0), cnt - 1),
+              i => concat_ws(" ", (0 until n).map(j => element_at(ltok, i + j + 1)): _*)))) { grams =>
+            val dl = when(size(lines) === 0, lit(0.0)).otherwise(
+              lit(1.0) - ratio(size(array_distinct(lines)), size(lines)))
+            val dg = when(size(grams) === 0, lit(0.0)).otherwise(
+              lit(1.0) - ratio(size(array_distinct(grams)), size(grams)))
+            val wc = size(tok).cast("long")
+            val mwl = when(wc === 0, lit(0.0)).otherwise(
+              ratio(aggregate(tok, lit(0L), (acc, w) => acc + length(w)), wc))
+            val sym = when(length(c) === 0, lit(0.0)).otherwise(
+              ratio(length(regexp_replace(c, "[\\p{Alnum}\\s]", "")), length(c)))
+            val sw = when(wc === 0, lit(0.0)).otherwise(
+              ratio(size(filter(tok, w => array_contains(
+                lit(graft.lang.LangId.EnglishStopwords10.toArray), lower(w)))), wc))
+            val keep = minLength(c, 50) && wc.between(10, 200000) &&
+              mwl.between(2.0, 12.0) && sym < 0.30 && dl < 0.50 && dg < 0.80
+            struct(
+              round(dl, 6).as("dup_line_frac"),
+              round(dg, 6).as(s"dup_${n}gram_frac"),
+              round(mwl, 6).as("mean_word_len"),
+              round(sym, 6).as("symbol_ratio"),
+              round(sw, 6).as("stopword_ratio"),
+              keep.as("gopher_keep"))
+          }
+        }
+      }
+    }
+  }
 }

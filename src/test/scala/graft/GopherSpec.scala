@@ -38,6 +38,33 @@ class GopherSpec extends SparkTestBase {
     assert(one("", Heuristics.meanWordLength(col("text"))) == 0.0)
   }
 
+  test("gopherStats struct equals the individual Column functions field-for-field") {
+    val texts = Seq(
+      "a\na\nb", "x y X Y x", "ab cdef", "", "   ", "only two",
+      "the and of to a in that is for with more words here now ok",
+      ("the model predicts that energy is conserved in a closed system " +
+        "and we can derive the relation for momentum with care ") * 3,
+      Array.fill(20)("spam spam spam spam line").mkString("\n"),
+      "@#$%^&*(){}[]<>~`|" * 20, "ünïcödé wörds ünïcödé wörds over here")
+    val df = texts.toDF("text")
+    val fused = graft.functions.ComputeOnce(df, "g",
+      Heuristics.gopherStats(col("text")))
+      .select(col("g.dup_line_frac"), col("g.dup_3gram_frac"),
+        col("g.mean_word_len"), col("g.symbol_ratio"),
+        col("g.stopword_ratio"), col("g.gopher_keep")).collect()
+    val t = col("text")
+    val plain = df.select(
+      round(Heuristics.dupLineFraction(t), 6),
+      round(Heuristics.dupNgramFraction(t, 3), 6),
+      round(Heuristics.meanWordLength(t), 6),
+      round(Heuristics.symbolRatio(t), 6),
+      round(Heuristics.stopwordRatio(t), 6),
+      Heuristics.gopherKeep(t)).collect()
+    fused.zip(plain).zip(texts).foreach { case ((f, p), txt) =>
+      assert(f == p, s"mismatch on <${txt.take(40)}>")
+    }
+  }
+
   test("gopherKeep composite: natural text passes, degenerate text fails") {
     val natural = ("the model predicts that energy is conserved in a closed " +
       "system and we can derive the relation for momentum with care ") * 3
