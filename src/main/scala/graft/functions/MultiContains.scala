@@ -14,12 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * separate full-text scan (the worst case, a term that is ABSENT, scans
   * the entire document), so anchor-free web text paid ~n×terms byte
   * scans per row even with the batteries themselves skipped. This
-  * expression folds all terms into ONE pass over the bytes: a 256-entry
-  * first-byte dispatch table mapping each (case-folded) byte to the
-  * terms starting with it, then a bounded memcmp per candidate — the
-  * poor man's Aho-Corasick, which suffices because membership is
-  * re-tested at every position anyway. The scan also exits early once
-  * every term has been found (anchor-RICH text exits fastest).
+  * expression folds all terms into ONE pass over the bytes: an
+  * Aho-Corasick DFA over case-folded ASCII bytes (failure links merged
+  * into the transition table at build time → one table lookup + one OR
+  * per byte, no fail-chasing, no per-candidate re-scans). The scan also
+  * exits early once every term has been found (anchor-RICH text exits
+  * fastest).
   *
   * Case semantics must equal `Lower(text)` + `Contains`. Spark 4's
   * `UTF8String.toLowerCase` byte-folds A-Z when the string is full
@@ -65,27 +65,59 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
   @transient private lazy val asciiTerms: Boolean =
     termBytes.forall(_.forall(b => (b & 0x80) == 0))
 
-  /** dispatch(b) = indices of terms whose first byte case-folds to b. */
-  @transient private lazy val dispatch: Array[Array[Int]] = {
-    val d = Array.fill(256)(List.empty[Int])
-    termBytes.zipWithIndex.foreach { case (tb, i) =>
-      val b0 = tb(0) & 0xff
-      d(b0) = i :: d(b0)
-    }
-    d.map(_.reverse.toArray)
-  }
-
-  /** 256-bit bitmap over folded first bytes: most document bytes start
-    * no term, and one load + bit test beats the two dependent array
-    * loads of a dispatch probe on that common path.
+  /** Aho-Corasick DFA over folded ASCII bytes: `acNext(state*128 + b)`
+    * is the goto-with-failure transition (failure links merged at build
+    * time, so scanning is ONE table lookup per byte, no fail-chasing),
+    * `acOut(state)` the bitmask of terms ending at the state including
+    * via suffix links. Replaces the first-byte-dispatch + bounded-memcmp
+    * scanner: that was O(candidates × termLen) at clustered first bytes
+    * (t: "the"/"therefore"/"thus"...), the DFA is O(1) per byte.
+    * Built once per (deserialized) expression instance; ~sum(termLen)
+    * states × 128 ints is a few hundred KB for the builder anchor sets.
     */
-  @transient private lazy val firstByteBits: Array[Long] = {
-    val bits = new Array[Long](4)
-    termBytes.foreach { tb =>
-      val b0 = tb(0) & 0xff
-      bits(b0 >> 6) |= 1L << (b0 & 63)
+  @transient private lazy val acAutomaton: (Array[Int], Array[Long]) = {
+    val trans = scala.collection.mutable.ArrayBuffer(Array.fill(128)(-1))
+    val out = scala.collection.mutable.ArrayBuffer(0L)
+    termBytes.zipWithIndex.foreach { case (tb, ti) =>
+      var s = 0
+      tb.foreach { b =>
+        val c = b & 0x7f
+        if (trans(s)(c) == -1) {
+          trans += Array.fill(128)(-1)
+          out += 0L
+          trans(s)(c) = trans.length - 1
+        }
+        s = trans(s)(c)
+      }
+      out(s) |= 1L << ti
     }
-    bits
+    val fail = new Array[Int](trans.length)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    var c = 0
+    while (c < 128) {
+      val t = trans(0)(c)
+      if (t == -1) trans(0)(c) = 0
+      else { fail(t) = 0; queue += t }
+      c += 1
+    }
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      out(s) |= out(fail(s))
+      var c2 = 0
+      while (c2 < 128) {
+        val t = trans(s)(c2)
+        if (t == -1) trans(s)(c2) = trans(fail(s))(c2)
+        else { fail(t) = trans(fail(s))(c2); queue += t }
+        c2 += 1
+      }
+    }
+    val flat = new Array[Int](trans.length * 128)
+    var s = 0
+    while (s < trans.length) {
+      System.arraycopy(trans(s), 0, flat, s * 128, 128)
+      s += 1
+    }
+    (flat, out.toArray)
   }
 
   private def fold(b: Byte): Byte =
@@ -105,8 +137,10 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
     */
   private[graft] def fastScan(s: UTF8String): java.lang.Long = {
     if (!asciiTerms || MultiContainsMask.asciiFoldUnsafe) return null
+    val (acNext, acOut) = acAutomaton
     val n = s.numBytes()
     var mask = 0L
+    var state = 0
     var i = 0
     while (i < n && mask != allMask) {
       val b = s.getByte(i)
@@ -151,35 +185,13 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
           }
         }
         i += len
+        // an ASCII term cannot span the (non-ASCII) lowered output of
+        // this sequence, so the automaton restarts after it
+        state = 0
       } else {
-        val fb = fold(b) & 0xff
-        if ((firstByteBits(fb >> 6) & (1L << (fb & 63))) == 0L) {
-          i += 1
-        } else {
-        val cand = dispatch(fb)
-        var j = 0
-        while (j < cand.length) {
-          val ti = cand(j)
-          if ((mask & (1L << ti)) == 0L) {
-            val tb = termBytes(ti)
-            if (i + tb.length <= n) {
-              var k = 1
-              var ok = true
-              while (ok && k < tb.length) {
-                val bk = s.getByte(i + k)
-                // a non-ASCII byte can never fold-equal an ASCII term
-                // byte — the candidate just fails here; the outer scan
-                // will decode+skip that sequence when it reaches it
-                ok = (bk & 0x80) == 0 && fold(bk) == tb(k)
-                k += 1
-              }
-              if (ok) mask |= 1L << ti
-            }
-          }
-          j += 1
-        }
+        state = acNext(state * 128 + (fold(b) & 0x7f))
+        mask |= acOut(state)
         i += 1
-        }
       }
     }
     java.lang.Long.valueOf(mask)

@@ -79,7 +79,12 @@ class MultiContainsSpec extends SparkTestBase {
       "Ω → ω Straße ß THEREFORE the step count",
       "emoji 🎉 problem 🚀 we have it",
       "русский текст problem и solution",
-      "no anchors at all — «jüst» ordinary web prose ✓")
+      "no anchors at all — «jüst» ordinary web prose ✓",
+      // terms BISECTED by a non-ASCII char must not match across the
+      // gap (the automaton's state must reset after a skipped
+      // sequence); suffix after the gap completing a term must
+      "we héave nothing", "probleém stéep", "thereéfore we have x",
+      "wé have é therefore", "stepé step")
     mixedDocs.foreach { d =>
       val s = UTF8String.fromString(d)
       val fast = expr.fastScan(s)
