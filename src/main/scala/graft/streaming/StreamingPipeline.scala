@@ -63,6 +63,22 @@ object StreamingPipeline {
         .withColumn("title", lit("Physics paper")),
       "url", "text", "subject", "title")
 
+  /** Gopher/C4 repetition + shape signals on a stream: one stateless
+    * Let-bound projection per row (the ComputeOnce Generate barrier is
+    * streaming-safe), so the q51 pre-filter runs unchanged ahead of the
+    * scoring sink. StreamingDeriveSpec proves micro-batches ≡ batch.
+    */
+  def gopherStatsStream(docsStream: DataFrame): DataFrame =
+    graft.functions.ComputeOnce(docsStream, "__g",
+      graft.rules.Heuristics.gopherStats(col("text")))
+      .select(col("url"),
+        col("__g.dup_line_frac").as("dup_line_frac"),
+        col("__g.dup_3gram_frac").as("dup_3gram_frac"),
+        col("__g.mean_word_len").as("mean_word_len"),
+        col("__g.symbol_ratio").as("symbol_ratio"),
+        col("__g.stopword_ratio").as("stopword_ratio"),
+        col("__g.gopher_keep").as("gopher_keep"))
+
   /** Windowed keep-rate monitoring: 1-minute tumbling windows on warc_ts
     * with a 2-minute watermark — late crawl records beyond the watermark are
     * dropped, state is bounded (north-star driver-light requirement).

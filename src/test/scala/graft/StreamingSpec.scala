@@ -126,6 +126,24 @@ class StreamingDeriveSpec extends SparkTestBase {
     assert(benchStreamed.nonEmpty && benchStreamed == benchBatch)
   }
 
+  test("streaming gopher stats equal batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = (0L until 120L).map(SynthCorpus.docFor)
+    val stream = MemoryStream[WebDoc]
+    stream.addData(docs.take(50))
+    stream.addData(docs.drop(50))
+    val scoredStream = StreamingPipeline.score(stream.toDF(), spark)
+    val q = StreamingPipeline.gopherStatsStream(scoredStream)
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val batch = StreamingPipeline.gopherStatsStream(
+      Pipeline.score(docs.toDF(), spark)).collect().map(_.toSeq).toSet
+    val streamed = spark.table("gopher_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming RL and UG training builders equal batch") {
     implicit val sqlCtx = spark.sqlContext
     val docs = (0L until 150L).map(SynthCorpus.docFor)
