@@ -291,14 +291,23 @@ object Dedup {
     // Labels are identical on both paths (min reachable id, with
     // Spark's OWN orderings — UTF8String binary compare for strings);
     // DedupSpec proves path equivalence on random graphs.
+    // null ids carry no cluster information and would diverge between
+    // the two strategies (HashMap vs join null semantics) — drop them;
+    // persist so the size probe and the chosen strategy share ONE
+    // evaluation of the (possibly expensive LSH) pair plan
+    val cleanPairs = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull).persist()
     if (collectThreshold > 0 &&
-        pairs.limit(collectThreshold + 1).count() <= collectThreshold) {
-      return unionFindComponents(pairs, aCol, bCol)
+        cleanPairs.limit(collectThreshold + 1).count() <= collectThreshold) {
+      val result = unionFindComponents(cleanPairs, aCol, bCol)
+      cleanPairs.unpersist() // safe: union-find collected already
+      return result
     }
-    val edges = pairs
+    val edges = cleanPairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .union(cleanPairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint() // eager: pair generation runs once, lineage cut
+    cleanPairs.unpersist()
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
     var iter = 0

@@ -198,6 +198,19 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("connected components drops null-id pairs identically on both paths") {
+    val pairs = Seq((Some(1L), Some(2L)), (None, Some(3L)),
+      (Some(4L), None), (Some(5L), Some(6L)))
+      .toDF("id_a", "id_b")
+    for (thr <- Seq(1 << 22, 0)) {
+      val got = Dedup.connectedComponents(pairs, "id_a", "id_b",
+          collectThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L),
+        s"threshold=$thr")
+    }
+  }
+
   test("nearDupSurvivors keeps cluster minima and all singletons") {
     val docs = (1L to 8L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((2L, 3L), (3L, 4L), (6L, 7L)).toDF("id_a", "id_b")
