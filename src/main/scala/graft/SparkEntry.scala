@@ -745,15 +745,20 @@ object SparkEntry {
       // per-row ratios of small integers: IEEE division is identical in
       // both engines, so round(x, 6) is hash-stable (the integer-cents
       // rule is for order-dependent SUMS, not per-row ratios); the keep
-      // rule compares the UNROUNDED values like the Spark side
+      // rule compares the UNROUNDED values like the Spark side. The
+      // tokenizer class is the EXACT RE2 spelling of Java's (?U)\s
+      // (Unicode White_Space: \p{Zs} + controls + NEL + LS/PS — GopherSpec
+      // pins the Spark side incl. the U+001C non-member), and the symbol
+      // class spells out Java's ASCII \s including \x0B, which RE2's \s
+      // lacks
       "q51_gopher_stats" ->
         """WITH g AS (
           |  SELECT doc_id, text,
           |    list_filter(list_transform(string_split(text, chr(10)),
           |      x -> trim(x)), x -> length(x) > 0) AS lines,
-          |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+          |    list_filter(regexp_split_to_array(lower(text), '[\t\n\x0B\f\r\x{0085}\x{2028}\x{2029}\p{Zs}]+'),
           |      x -> length(x) > 0) AS ltok,
-          |    list_filter(regexp_split_to_array(text, '\s+'),
+          |    list_filter(regexp_split_to_array(text, '[\t\n\x0B\f\r\x{0085}\x{2028}\x{2029}\p{Zs}]+'),
           |      x -> length(x) > 0) AS tok
           |  FROM documents),
           |h AS (
@@ -771,7 +776,7 @@ object SparkEntry {
           |    CASE WHEN len(tok) = 0 THEN 0.0
           |      ELSE CAST(list_aggregate(list_transform(tok, x -> length(x)), 'sum') AS DOUBLE) / len(tok) END AS mwl,
           |    CASE WHEN length(text) = 0 THEN 0.0
-          |      ELSE CAST(length(regexp_replace(text, '[[:alnum:]\s]', '', 'g')) AS DOUBLE) / length(text) END AS sym,
+          |      ELSE CAST(length(regexp_replace(text, '[[:alnum:]\t\n\x0B\f\r ]', '', 'g')) AS DOUBLE) / length(text) END AS sym,
           |    CASE WHEN len(tok) = 0 THEN 0.0
           |      ELSE CAST(len(list_filter(tok, x -> list_contains(
           |        ['the','and','of','to','a','in','that','is','for','with'],

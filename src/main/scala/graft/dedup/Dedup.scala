@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline
@@ -279,35 +279,45 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          collectThreshold: Int = 1 << 22): DataFrame = {
+                          collectThreshold: Int = 1 << 20): DataFrame = {
     // Adaptive strategy, same shape as Spark's broadcast-join threshold:
     // the near-dup PAIR graph is usually orders of magnitude smaller
     // than the corpus (pairs are the post-verification survivors), so
-    // when it fits the driver comfortably (default ≤ ~4M edges — the
-    // memory scale of a broadcast side), one collect + union-find with
-    // path compression beats 10+ iterative Spark jobs outright. The
-    // `limit(threshold+1).count()` probe stops scanning early for huge
-    // graphs, which then take the distributed HashMin+jump loop below.
-    // Labels are identical on both paths (min reachable id, with
-    // Spark's OWN orderings — UTF8String binary compare for strings);
+    // when it fits the driver comfortably (default ≤ ~1M edges — a few
+    // hundred MB of driver heap worst case, sized like a generous
+    // broadcast side), one collect + union-find with path compression
+    // beats 10+ iterative Spark jobs outright. The probe is `take`
+    // (incremental CollectLimit: a genuine early exit that materializes
+    // at most threshold+1 rows, unlike limit().count() over a persisted
+    // plan), and its rows are fed STRAIGHT to the union-find when small
+    // — one evaluation total, no caching. The driver path is gated to
+    // id types whose JVM equality/ordering matches Spark's (integrals,
+    // strings via UTF8String compare, date/time); Float/Double (NaN,
+    // -0.0) and Binary (array equality) always take the distributed
+    // loop. Labels are identical on both paths (min reachable id);
     // DedupSpec proves path equivalence on random graphs.
     // null ids carry no cluster information and would diverge between
-    // the two strategies (HashMap vs join null semantics) — drop them;
-    // persist so the size probe and the chosen strategy share ONE
-    // evaluation of the (possibly expensive LSH) pair plan
-    val cleanPairs = pairs
-      .filter(col(aCol).isNotNull && col(bCol).isNotNull).persist()
-    if (collectThreshold > 0 &&
-        cleanPairs.limit(collectThreshold + 1).count() <= collectThreshold) {
-      val result = unionFindComponents(cleanPairs, aCol, bCol)
-      cleanPairs.unpersist() // safe: union-find collected already
-      return result
+    // the two strategies (HashMap vs join null semantics) — drop them.
+    val cleanPairs = pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    import org.apache.spark.sql.types._
+    val driverPathOk = pairs.schema(aCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType |
+           DateType | TimestampType => true
+      case _ => false // Float/Double/Binary/complex: loop only
+    }
+    if (collectThreshold > 0 && driverPathOk) {
+      val probeN =
+        if (collectThreshold >= Int.MaxValue - 1) Int.MaxValue
+        else collectThreshold + 1
+      val sample = cleanPairs.select(col(aCol), col(bCol)).take(probeN)
+      if (sample.length <= collectThreshold)
+        return unionFindComponents(sample, pairs.schema(aCol).dataType,
+          pairs.sparkSession)
     }
     val edges = cleanPairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(cleanPairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint() // eager: pair generation runs once, lineage cut
-    cleanPairs.unpersist()
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
     var iter = 0
@@ -369,12 +379,13 @@ object Dedup {
 
   /** Driver-side components for bounded pair lists: union-find with path
     * compression + union by rank, then min-id labels per root. O(E α(V)).
+    * Callers must gate on id types whose JVM equality matches Spark's
+    * (see connectedComponents).
     */
-  private def unionFindComponents(pairs: DataFrame, aCol: String,
-                                  bCol: String): DataFrame = {
+  private def unionFindComponents(rows: Array[org.apache.spark.sql.Row],
+                                  idType: org.apache.spark.sql.types.DataType,
+                                  spark: SparkSession): DataFrame = {
     import scala.collection.mutable
-    val spark = pairs.sparkSession
-    val rows = pairs.select(col(aCol), col(bCol)).collect()
     val parent = mutable.HashMap.empty[Any, Any]
     val rank = mutable.HashMap.empty[Any, Int]
     def find(x: Any): Any = {
@@ -404,7 +415,6 @@ object Dedup {
     }
     val out = parent.keys.toSeq.map(v =>
       org.apache.spark.sql.Row(v, label(find(v))))
-    val idType = pairs.schema(aCol).dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("component", idType)))

@@ -236,40 +236,59 @@ object Heuristics {
   /** Stopword ratio: stopword tokens / all tokens (Gopher rule: >= ~0.06
     * of common-word mass for natural English).
     */
-  def stopwordRatio(c: Column): Column = {
-    val sw = tokenMembershipCount(c, graft.lang.LangId.EnglishStopwords10)
-    when(wordCount(c) === 0, lit(0.0))
-      .otherwise(sw.cast("double") / wordCount(c).cast("double"))
+  def stopwordRatio(c: Column): Column =
+    stopwordRatioOf(tokensOrEmpty(c, lowered = false))
+
+  // ---- Gopher signal building blocks — ONE body each, used by both
+  // the individual Column functions and the fused gopherStats, so the
+  // two surfaces cannot drift (GopherSpec pins field identity anyway).
+
+  /** Non-empty space-trimmed lines. */
+  private def nonEmptyLines(c: Column): Column =
+    filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Null-guarded whitespace tokens (optionally lowercased). */
+  private def tokensOrEmpty(c: Column, lowered: Boolean): Column =
+    when(c.isNull, array().cast("array<string>"))
+      .otherwise(tokens(if (lowered) lower(c) else c))
+
+  /** Word n-grams over a token array. */
+  private def wordNgrams(toks: Column, n: Int): Column = {
+    val cnt = size(toks) - (n - 1)
+    when(cnt <= 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), cnt - 1),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
   }
 
+  /** 1 - distinct/total over an array; 0.0 when empty. */
+  private def dupFraction(arr: Column): Column =
+    when(size(arr) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr).cast("double"))
+
+  private def meanWordLenOf(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        size(toks).cast("double"))
+
+  private def stopwordRatioOf(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, w => array_contains(
+        lit(graft.lang.LangId.EnglishStopwords10.toArray), lower(w))))
+        .cast("double") / size(toks).cast("double"))
+
   /** Duplicate-line fraction: 1 - distinct_lines/lines (repetition signal). */
-  def dupLineFraction(c: Column): Column = {
-    val lines = filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)
-    when(size(lines) === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines).cast("double"))
-  }
+  def dupLineFraction(c: Column): Column = dupFraction(nonEmptyLines(c))
 
   /** Duplicate word-n-gram fraction over whitespace tokens (Gopher
     * repetition rule). Pure higher-order expressions: build n-grams with
     * transform over index sequence, compare distinct vs total.
     */
-  def dupNgramFraction(c: Column, n: Int): Column = {
-    val toks = when(c.isNull, array().cast("array<string>"))
-      .otherwise(tokens(lower(c)))
-    val cnt = size(toks) - (n - 1)
-    val grams = when(cnt <= 0, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), cnt - 1),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-    when(size(grams) === 0, lit(0.0)).otherwise(
-      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
-  }
+  def dupNgramFraction(c: Column, n: Int): Column =
+    dupFraction(wordNgrams(tokensOrEmpty(c, lowered = true), n))
 
   /** Mean word length (Gopher: keep 3..10). */
-  def meanWordLength(c: Column): Column = {
-    when(wordCount(c) === 0, lit(0.0)).otherwise(
-      aggregate(tokens(c), lit(0L), (acc, w) => acc + length(w)).cast("double") /
-        wordCount(c).cast("double"))
-  }
+  def meanWordLength(c: Column): Column =
+    meanWordLenOf(tokensOrEmpty(c, lowered = false))
 
   /** Composite C4/Gopher keep rule for web text (graft addition — the
     * pipeline's pre-filter ahead of model scoring; cheap-first ordering per
@@ -294,36 +313,29 @@ object Heuristics {
     */
   def gopherStats(c: Column, n: Int = 3): Column = {
     import graft.functions.Let
-    val ratio: (Column, Column) => Column =
-      (num, den) => num.cast("double") / den.cast("double")
-    Let(filter(transform(split(c, "\n"), l => trim(l)), l => length(l) > 0)) { lines =>
-      Let(when(c.isNull, array().cast("array<string>")).otherwise(tokens(c))) { tok =>
-        Let(when(c.isNull, array().cast("array<string>"))
-          .otherwise(tokens(lower(c)))) { ltok =>
-          val cnt = size(ltok) - (n - 1)
-          Let(when(cnt <= 0, array().cast("array<string>")).otherwise(
-            transform(sequence(lit(0), cnt - 1),
-              i => concat_ws(" ", (0 until n).map(j => element_at(ltok, i + j + 1)): _*)))) { grams =>
-            val dl = when(size(lines) === 0, lit(0.0)).otherwise(
-              lit(1.0) - ratio(size(array_distinct(lines)), size(lines)))
-            val dg = when(size(grams) === 0, lit(0.0)).otherwise(
-              lit(1.0) - ratio(size(array_distinct(grams)), size(grams)))
-            val wc = size(tok).cast("long")
-            val mwl = when(wc === 0, lit(0.0)).otherwise(
-              ratio(aggregate(tok, lit(0L), (acc, w) => acc + length(w)), wc))
-            val sym = when(length(c) === 0, lit(0.0)).otherwise(
-              ratio(length(regexp_replace(c, "[\\p{Alnum}\\s]", "")), length(c)))
-            val sw = when(wc === 0, lit(0.0)).otherwise(
-              ratio(size(filter(tok, w => array_contains(
-                lit(graft.lang.LangId.EnglishStopwords10.toArray), lower(w)))), wc))
-            val keep = minLength(c, 50) && wc.between(10, 200000) &&
-              mwl.between(2.0, 12.0) && sym < 0.30 && dl < 0.50 && dg < 0.80
+    Let(nonEmptyLines(c)) { lines =>
+      Let(tokensOrEmpty(c, lowered = false)) { tok =>
+        Let(wordNgrams(tokensOrEmpty(c, lowered = true), n)) { grams =>
+          // scalar bindings: each ratio is referenced twice (field +
+          // keep rule) — bind once so e.g. the symbol regexp runs once
+          Let(struct(
+            dupFraction(lines).as("dl"),
+            dupFraction(grams).as("dg"),
+            meanWordLenOf(tok).as("mwl"),
+            symbolRatio(c).as("sym"),
+            stopwordRatioOf(tok).as("sw"),
+            size(tok).cast("long").as("wc"))) { v =>
+            val keep = minLength(c, 50) &&
+              v.getField("wc").between(10, 200000) &&
+              v.getField("mwl").between(2.0, 12.0) &&
+              v.getField("sym") < 0.30 &&
+              v.getField("dl") < 0.50 && v.getField("dg") < 0.80
             struct(
-              round(dl, 6).as("dup_line_frac"),
-              round(dg, 6).as(s"dup_${n}gram_frac"),
-              round(mwl, 6).as("mean_word_len"),
-              round(sym, 6).as("symbol_ratio"),
-              round(sw, 6).as("stopword_ratio"),
+              round(v.getField("dl"), 6).as("dup_line_frac"),
+              round(v.getField("dg"), 6).as(s"dup_${n}gram_frac"),
+              round(v.getField("mwl"), 6).as("mean_word_len"),
+              round(v.getField("sym"), 6).as("symbol_ratio"),
+              round(v.getField("sw"), 6).as("stopword_ratio"),
               keep.as("gopher_keep"))
           }
         }

@@ -65,6 +65,24 @@ class GopherSpec extends SparkTestBase {
     }
   }
 
+  test("tokenizer unicode-whitespace semantics match the q51 oracle class") {
+    // the q51 DuckDB oracle tokenizes with the RE2 class
+    // [\t\n\x0B\f\r\x{0085}\x{2028}\x{2029}\p{Zs}]+ — the Unicode
+    // White_Space set, which is what Java's (?U)\s+ means under
+    // UNICODE_CHARACTER_CLASS. Pin the Spark side to that set: NBSP,
+    // NEL, thin space, ideographic space, VT all split; \x1C-\x1F
+    // (isWhitespace-but-not-White_Space) must NOT.
+    def wc(t: String): Long =
+      Seq(t).toDF("text").select(Heuristics.wordCount(col("text")))
+        .head().getLong(0)
+    assert(wc("a\u00A0b") == 2L, "NBSP must split")
+    assert(wc("a\u2009b") == 2L, "thin space must split")
+    assert(wc("a\u3000b") == 2L, "ideographic space must split")
+    assert(wc("a\u000Bb") == 2L, "VT must split")
+    assert(wc("a\u0085b") == 2L, "NEL must split")
+    assert(wc("a\u001Cb") == 1L, "FS (U+001C) is not White_Space")
+  }
+
   test("gopherKeep composite: natural text passes, degenerate text fails") {
     val natural = ("the model predicts that energy is conserved in a closed " +
       "system and we can derive the relation for momentum with care ") * 3
