@@ -315,7 +315,13 @@ object Heuristics {
     import graft.functions.Let
     Let(nonEmptyLines(c)) { lines =>
       Let(tokensOrEmpty(c, lowered = false)) { tok =>
-        Let(wordNgrams(tokensOrEmpty(c, lowered = true), n)) { grams =>
+        // the lowered tokens MUST be Let-bound before the n-gram builder:
+        // wordNgrams references its token column ~3n times and
+        // CollapseProject would inline (re-evaluate) the tokenizer at
+        // every reference (measured: q51 0.5 → 11.7 s when this binding
+        // was dropped in a refactor)
+        Let(tokensOrEmpty(c, lowered = true)) { ltok =>
+        Let(wordNgrams(ltok, n)) { grams =>
           // scalar bindings: each ratio is referenced twice (field +
           // keep rule) — bind once so e.g. the symbol regexp runs once
           Let(struct(
@@ -338,6 +344,7 @@ object Heuristics {
               round(v.getField("sw"), 6).as("stopword_ratio"),
               keep.as("gopher_keep"))
           }
+        }
         }
       }
     }
