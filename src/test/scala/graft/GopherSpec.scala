@@ -83,6 +83,24 @@ class GopherSpec extends SparkTestBase {
     assert(wc("a\u001Cb") == 1L, "FS (U+001C) is not White_Space")
   }
 
+  test("q51 plan evaluates each tokenizer exactly once (plan assertion)") {
+    // regression guard for the CollapseProject re-inlining trap: a
+    // refactor that passes the tokenizer into a multi-reference builder
+    // without a Let binding blows the plan up to ~25 tokenizer copies
+    // (measured: q51 0.5 → 11.7 s) — pin the count structurally
+    val df = graft.functions.ComputeOnce(
+      Seq("some text here").toDF("text"), "__g",
+      Heuristics.gopherStats(col("text")))
+      .select(col("__g.dup_3gram_frac"), col("__g.gopher_keep"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    def occurrences(needle: String): Int =
+      plan.sliding(needle.length).count(_ == needle)
+    val lowered = occurrences("split(lower(text")
+    val raw = occurrences("split(text")
+    assert(lowered <= 1, s"lowered tokenizer inlined $lowered times")
+    assert(raw <= 2, s"raw tokenizer/line split inlined $raw times")
+  }
+
   test("gopherKeep composite: natural text passes, degenerate text fails") {
     val natural = ("the model predicts that energy is conserved in a closed " +
       "system and we can derive the relation for momentum with care ") * 3
