@@ -286,38 +286,51 @@ object Dedup {
     // when it fits the driver comfortably (default ≤ ~1M edges — a few
     // hundred MB of driver heap worst case, sized like a generous
     // broadcast side), one collect + union-find with path compression
-    // beats 10+ iterative Spark jobs outright. The probe is `take`
-    // (incremental CollectLimit: a genuine early exit that materializes
-    // at most threshold+1 rows, unlike limit().count() over a persisted
-    // plan), and its rows are fed STRAIGHT to the union-find when small
-    // — one evaluation total, no caching. The driver path is gated to
+    // beats 10+ iterative Spark jobs outright. The (expensive — LSH
+    // window + self-join) pair plan is evaluated exactly ONCE on every
+    // path: the cleaned pair frame is eagerly `localCheckpoint`ed up
+    // front, the driver-path probe reads those blocks, and the
+    // distributed `edges` frame is built from the same blocks. (Round 4
+    // probed with a bare `take`, whose work was thrown away whenever
+    // the graph overflowed the threshold — the >1M-edge path then
+    // re-ran pair generation from scratch.) The driver path is gated to
     // id types whose JVM equality/ordering matches Spark's (integrals,
-    // strings via UTF8String compare, date/time); Float/Double (NaN,
-    // -0.0) and Binary (array equality) always take the distributed
-    // loop. Labels are identical on both paths (min reachable id);
-    // DedupSpec proves path equivalence on random graphs.
+    // strings via UTF8String compare, date/time) — required of BOTH id
+    // columns, which must also agree with each other (the output schema
+    // and the union-find compare ids across the two columns);
+    // Float/Double (NaN, -0.0) and Binary (array equality) always take
+    // the distributed loop. Labels are identical on both paths (min
+    // reachable id); DedupSpec proves path equivalence on random graphs.
     // null ids carry no cluster information and would diverge between
     // the two strategies (HashMap vs join null semantics) — drop them.
-    val cleanPairs = pairs.filter(col(aCol).isNotNull && col(bCol).isNotNull)
     import org.apache.spark.sql.types._
-    val driverPathOk = pairs.schema(aCol).dataType match {
+    val idType = pairs.schema(aCol).dataType
+    val cleanPairs = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol), col(bCol))
+      .localCheckpoint() // eager: pair generation runs once, on all paths
+    def releasePairs(): Unit =
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(cleanPairs)
+    val driverPathOk = idType == pairs.schema(bCol).dataType && (idType match {
       case LongType | IntegerType | ShortType | ByteType | StringType |
            DateType | TimestampType => true
       case _ => false // Float/Double/Binary/complex: loop only
-    }
+    })
     if (collectThreshold > 0 && driverPathOk) {
       val probeN =
         if (collectThreshold >= Int.MaxValue - 1) Int.MaxValue
         else collectThreshold + 1
-      val sample = cleanPairs.select(col(aCol), col(bCol)).take(probeN)
-      if (sample.length <= collectThreshold)
-        return unionFindComponents(sample, pairs.schema(aCol).dataType,
-          pairs.sparkSession)
+      val sample = cleanPairs.take(probeN) // reads checkpoint blocks
+      if (sample.length <= collectThreshold) {
+        releasePairs()
+        return unionFindComponents(sample, idType, pairs.sparkSession)
+      }
     }
     val edges = cleanPairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(cleanPairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint() // eager: pair generation runs once, lineage cut
+      .localCheckpoint() // loop rounds read edge blocks, not the union plan
+    releasePairs()
     var comp = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
     var iter = 0

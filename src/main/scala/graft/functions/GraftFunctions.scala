@@ -204,15 +204,22 @@ object GraftFunctions {
   /** Register on a live session. Idempotent — and quiet about it:
     * `createOrReplaceTempFunction` on an existing name logs a
     * "replaced a previously registered function" WARN, and Pipeline
-    * calls this once per query. The idempotence check is a per-session
-    * marker conf, NOT `functionExists`: a pre-existing FOREIGN temp
-    * function with a graft name must still be replaced on the first
-    * call (the createOrReplace contract), and a name check would leave
-    * it silently shadowing graft's implementation.
+    * calls this once per query. The idempotence check asks the
+    * functionRegistry whether ALL graft names are present (not a
+    * session conf — a user-visible conf key made register() a
+    * permanent no-op: SET/RESET silently toggled it, and a graft
+    * function removed via DROP TEMPORARY FUNCTION could never be
+    * restored by re-calling register()). Registering when ANY name is
+    * missing keeps both contracts: a pre-existing FOREIGN temp
+    * function squatting on one graft name is still replaced on the
+    * first call (it can't plausibly pre-register the whole battery),
+    * and a dropped graft function is restored by the next register().
+    * A foreign function installed over a graft name AFTER a full
+    * registration is a deliberate user override and is left in place.
     */
   def register(spark: SparkSession): Unit = {
-    if (spark.conf.getOption(RegisteredMarker).contains("true")) return
     val reg = spark.sessionState.functionRegistry
+    if (Names.forall(n => reg.functionExists(FunctionIdentifier(n)))) return
     def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
     reg1("pii_scrub", exprs => PiiScrubExpr(exprs.head))
@@ -223,10 +230,12 @@ object GraftFunctions {
     reg1("graft_perplexity", exprs => PerplexityExpr(exprs.head))
     reg1("graft_simhash", exprs => graft.dedup.SimHashExpr(exprs.head))
     reg1("graft_extract_clean", exprs => ExtractCleanExpr(exprs.head))
-    spark.conf.set(RegisteredMarker, "true")
   }
 
-  private val RegisteredMarker = "spark.graft.functionsRegistered"
+  /** Every name `register` installs — the idempotence probe set. */
+  private val Names = Seq("pii_scrub", "graft_token_stats",
+    "graft_pattern_counts", "graft_basic_clean", "graft_perplexity",
+    "graft_simhash", "graft_extract_clean")
 
   /** SparkSessionExtensions injection point (for spark-submit via
     * spark.sql.extensions=graft.functions.GraftExtensions) — registers

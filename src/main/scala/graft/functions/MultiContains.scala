@@ -136,7 +136,13 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
     * mixed-UTF-8 documents (the at-scale case: real web text).
     */
   private[graft] def fastScan(s: UTF8String): java.lang.Long = {
-    if (!asciiTerms || MultiContainsMask.asciiFoldUnsafe) return null
+    val safety = MultiContainsMask.safety
+    // `ne` guard: the safety tables are only valid for the default
+    // Locale they were enumerated under — Spark's slow lowercase reads
+    // Locale.getDefault() per call, so a post-enumeration setDefault
+    // must force the exact fallback (see SafetySet).
+    if (!asciiTerms || safety.asciiFoldUnsafe ||
+        (java.util.Locale.getDefault ne safety.locale)) return null
     val (acNext, acOut) = acAutomaton
     val n = s.numBytes()
     var mask = 0L
@@ -164,7 +170,7 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
         else if (lead >= 0xf0 && lead <= 0xf4) len = 4
         else return null // malformed (stray continuation / overlong lead)
         if (i + len > n) return null // truncated
-        if (MultiContainsMask.leadDanger(lead)) {
+        if (safety.leadDanger(lead)) {
           var cp = lead & (if (len == 2) 0x1f else if (len == 3) 0x0f else 0x07)
           var k = 1
           while (k < len) {
@@ -176,7 +182,7 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
           // overlong/out-of-range decodes as U+FFFD garbage — bail
           if (len == 3 && cp < 0x800) return null
           if (len == 4 && (cp < 0x10000 || cp > 0x10ffff)) return null
-          if (MultiContainsMask.lowersToAscii.get(cp)) return null
+          if (safety.lowersToAscii.get(cp)) return null
         } else {
           var k = 1
           while (k < len) {
@@ -215,18 +221,76 @@ case class MultiContainsMaskExpr(child: Expression, terms: Seq[String])
 }
 
 object MultiContainsMask {
-  /** Code points ≥ U+0080 whose default-locale `String.toLowerCase()` —
-    * the exact function behind `UTF8String.toLowerCaseSlow` — produces
-    * any ASCII char (U+0130 İ → "i̇", U+212A K → "k", …). Enumerated
-    * once per JVM against the running JVM/locale so it can never drift
-    * from Spark's behavior. Surrogate code points are marked dangerous:
-    * they only arise from malformed UTF-8, which must take the exact
-    * fallback. The conditional special-casing rules (final sigma) map
-    * within the non-ASCII plane, so per-code-point enumeration is
-    * sufficient — and the MultiContainsSpec parity property checks this
-    * empirically.
+
+  /** The safety tables below are enumerated against the DEFAULT LOCALE —
+    * the one `UTF8String.toLowerCaseSlow` reads on every call. They are
+    * computed once per JVM, but Spark re-reads `Locale.getDefault()`
+    * per row, so a `Locale.setDefault` AFTER enumeration (e.g. to tr)
+    * would let the fast path keep firing with a stale safety set and
+    * silently diverge from lower()+contains. `SafetySet` therefore
+    * captures the Locale INSTANCE it was enumerated under; `fastScan`
+    * recomputes nothing — it just reference-compares
+    * `Locale.getDefault()` against the captured instance (one `ne` per
+    * row) and bails to the exact fallback on any mismatch. A same-value
+    * but different-instance default costs only the fast path, never
+    * correctness.
     */
-  private[functions] lazy val lowersToAscii: java.util.BitSet = {
+  private[functions] final class SafetySet {
+    val locale: java.util.Locale = java.util.Locale.getDefault()
+
+    /** Code points ≥ U+0080 whose default-locale `String.toLowerCase()`
+      * — the exact function behind `UTF8String.toLowerCaseSlow` —
+      * produces any ASCII char (U+0130 İ → "i̇", U+212A K → "k", …).
+      * Enumerated once per JVM against the running JVM/locale so it can
+      * never drift from Spark's behavior. Surrogate code points are
+      * marked dangerous: they only arise from malformed UTF-8, which
+      * must take the exact fallback. The conditional special-casing
+      * rules (final sigma) map within the non-ASCII plane, so
+      * per-code-point enumeration is sufficient — and the
+      * MultiContainsSpec parity property checks this empirically.
+      */
+    val lowersToAscii: java.util.BitSet = computeLowersToAscii()
+
+    /** leadDanger(b) = some code point in `lowersToAscii` has UTF-8
+      * lead byte b. A safe lead's sequence is skipped after
+      * continuation validation alone — no decode, no BitSet probe.
+      * Surrogate code points are in the set, so lead 0xED is flagged
+      * and surrogate encodings (malformed UTF-8) still take the exact
+      * fallback.
+      */
+    val leadDanger: Array[Boolean] = {
+      val d = new Array[Boolean](256)
+      var cp = 0x80
+      while (cp < 0x110000) {
+        if (lowersToAscii.get(cp)) {
+          val lead =
+            if (cp < 0x800) 0xc0 | (cp >> 6)
+            else if (cp < 0x10000) 0xe0 | (cp >> 12)
+            else 0xf0 | (cp >> 18)
+          d(lead) = true
+        }
+        cp += 1
+      }
+      d
+    }
+
+    /** In tr/az default locales `String.toLowerCase()` maps ASCII 'I'
+      * to 'ı' — so on any non-full-ASCII string (Spark's slow path)
+      * even the ASCII fold diverges. Detect once; the fast path then
+      * refuses non-ASCII documents entirely (pure-ASCII ones still
+      * byte-fold, which Spark does locale-independently).
+      */
+    val asciiFoldUnsafe: Boolean = "Ié".toLowerCase().charAt(0) != 'i'
+  }
+
+  private[functions] lazy val safety: SafetySet = new SafetySet
+
+  // Forwarders keep the round-4 call sites/specs stable.
+  private[functions] def lowersToAscii: java.util.BitSet = safety.lowersToAscii
+  private[functions] def leadDanger: Array[Boolean] = safety.leadDanger
+  private[functions] def asciiFoldUnsafe: Boolean = safety.asciiFoldUnsafe
+
+  private def computeLowersToAscii(): java.util.BitSet = {
     val bs = new java.util.BitSet(0x110000)
     var cp = 0x80
     while (cp < 0x110000) {
@@ -246,37 +310,6 @@ object MultiContainsMask {
     }
     bs
   }
-
-  /** leadDanger(b) = some code point in [[lowersToAscii]] has UTF-8 lead
-    * byte b. A safe lead's sequence is skipped after continuation
-    * validation alone — no decode, no BitSet probe. Surrogate code
-    * points are in the set, so lead 0xED is flagged and surrogate
-    * encodings (malformed UTF-8) still take the exact fallback.
-    */
-  private[functions] lazy val leadDanger: Array[Boolean] = {
-    val d = new Array[Boolean](256)
-    var cp = 0x80
-    while (cp < 0x110000) {
-      if (lowersToAscii.get(cp)) {
-        val lead =
-          if (cp < 0x800) 0xc0 | (cp >> 6)
-          else if (cp < 0x10000) 0xe0 | (cp >> 12)
-          else 0xf0 | (cp >> 18)
-        d(lead) = true
-      }
-      cp += 1
-    }
-    d
-  }
-
-  /** In tr/az default locales `String.toLowerCase()` maps ASCII 'I' to
-    * 'ı' — so on any non-full-ASCII string (Spark's slow path) even the
-    * ASCII fold diverges. Detect once; the fast path then refuses
-    * non-ASCII documents entirely (pure-ASCII ones still byte-fold,
-    * which Spark does locale-independently).
-    */
-  private[functions] lazy val asciiFoldUnsafe: Boolean =
-    "Ié".toLowerCase().charAt(0) != 'i'
 
   /** Column form: a Long whose bit i says `lower(text) contains terms(i)`. */
   def apply(text: Column, terms: Seq[String]): Column =

@@ -307,9 +307,13 @@ object Heuristics {
     * tokenizer into every reference (~20 copies of the token array per
     * row in q51's original plan — the round-2 trap); here the line,
     * token, and n-gram arrays are Let-bound once and every ratio reads
-    * the binding. Field values are IDENTICAL to the individual
-    * functions (GopherSpec equality test); consume behind a ComputeOnce
-    * barrier so the struct itself is not re-inlined per field.
+    * the binding. Field values equal the individual functions UP TO
+    * `round(_, 6)` — the ratio fields here are rounded for oracle hash
+    * stability, the standalone Columns are not (GopherSpec proves
+    * equality after rounding both sides; `gopher_keep` compares the
+    * UNROUNDED values, so the keep bit is exactly `gopherKeep`). Consume
+    * behind a ComputeOnce barrier so the struct itself is not re-inlined
+    * per field.
     */
   def gopherStats(c: Column, n: Int = 3): Column = {
     import graft.functions.Let

@@ -34,6 +34,20 @@ class FunctionsSpec extends SparkTestBase {
     assert(got.isNullAt(1))
   }
 
+  test("register() restores a dropped graft function (idempotence probe is the registry, not a conf)") {
+    // round-4 used a session-conf marker: after the first call register()
+    // was a permanent no-op, so DROP TEMPORARY FUNCTION could never be
+    // undone. The probe is now "are ALL graft names registered?".
+    spark.sql("DROP TEMPORARY FUNCTION graft_simhash")
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    assert(!reg.functionExists(FunctionIdentifier("graft_simhash")))
+    GraftFunctions.register(spark)
+    assert(reg.functionExists(FunctionIdentifier("graft_simhash")))
+    val got = spark.sql("SELECT graft_simhash('restored') AS h").head()
+    assert(!got.isNullAt(0))
+  }
+
   test("pii_scrub stays inside whole-stage codegen") {
     // a local Seq becomes LocalTableScan (never codegen'd) — use a range
     // scan, which is, so the assertion isolates the expression itself

@@ -172,6 +172,30 @@ class MultiContainsSpec extends SparkTestBase {
     }
   }
 
+  test("a default-Locale change after enumeration bails the fast path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // Spark's toLowerCaseSlow reads Locale.getDefault() per call, so a
+    // setDefault AFTER the per-JVM safety tables were enumerated must
+    // force the exact fallback (the tables are stale for the new
+    // locale). The guard is a reference compare against the Locale
+    // captured at enumeration time.
+    val expr = MultiContainsMaskExpr(
+      Literal(UTF8String.fromString("")), Seq("via", "ansatz"))
+    val doc = UTF8String.fromString("naïve ansatz text") // non-full-ASCII
+    assert(expr.fastScan(doc) != null, "fast path should fire pre-switch")
+    val orig = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      assert(expr.fastScan(doc) == null,
+        "stale safety tables must not be used under a switched locale")
+      // and the full eval still equals lower()+contains under tr
+      assert(expr.nullSafeEval(doc).asInstanceOf[Long] == 2L)
+    } finally java.util.Locale.setDefault(orig)
+    // restoring the SAME instance re-arms the fast path
+    assert(expr.fastScan(doc) != null)
+  }
+
   test("probe: one-pass scan vs per-term fallback on mixed-UTF-8 docs", ProbeTag) {
     import org.apache.spark.unsafe.types.UTF8String
     import org.apache.spark.sql.catalyst.expressions.Literal
