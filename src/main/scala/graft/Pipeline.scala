@@ -68,6 +68,19 @@ object Pipeline {
     val extracted = docsRaw
       .withColumn("text", call_function("graft_extract_clean", col("html")))
       .drop("html")
+    scoreExtracted(extracted, spark, cfg)
+  }
+
+  /** Scoring from the post-extraction seam: `extracted` already carries a
+    * cleaned `text` column (and `url` for the eligibility gate). This is
+    * the composition point for upstream curation stages — Curate.full
+    * runs extract → cheap gates → dedup, then feeds ONLY the survivors
+    * here, so the model never scores a document the cheap stages would
+    * discard (cheap-first, SURVEY.md §4.1).
+    */
+  def scoreExtracted(extracted: DataFrame, spark: SparkSession,
+                     cfg: Config = Config()): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
 
     // P4: langid (fastText-style hashed n-gram model, broadcast).
     val withLang = LangId.withLangNgram(extracted, "text", "lang", spark)

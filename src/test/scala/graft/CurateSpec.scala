@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.curate.Curate
+
+/** The composed curation chain: stage attribution on planted documents,
+  * cheap-first ORDER semantics (a gopher-dropped document never enters
+  * dedup; an exact-dup loser never enters pair generation), scrub only on
+  * kept rows, and the face equivalences (curated ≡ curationLog-kept;
+  * full ≡ curate-then-score).
+  */
+class CurateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** ~40 natural-looking words with a seeded shuffle — passes every
+    * gopher gate and shares no 3-gram run with other seeds' docs.
+    */
+  private def prose(seed: Int): String = {
+    val vocab = Seq("the", "quick", "engine", "reads", "a", "column", "and",
+      "writes", "batches", "of", "rows", "to", "storage", "for", "later",
+      "analysis", "with", "careful", "ordering", "that", "keeps", "costs",
+      "low", "in", "practice")
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+  }
+
+  // Planted corpus (ids chosen so every keeper is the cluster MIN):
+  //  1: prose A                      -> kept
+  //  2: exact copy of 1              -> exact_dup (keeper is 1)
+  //  3: exact copy of 1              -> exact_dup (3-way exact cluster)
+  //  4: prose B                      -> kept
+  //  5: near-dup of 4 (tail tweak)   -> near_dup (keeper is 4)
+  //  6: symbol-heavy                 -> gopher (symbol_ratio > 0.3)
+  //  7: near-dup of 6's prose core BUT 6 is gopher-dropped -> kept
+  //     (cheap-first: 6 never enters pair generation)
+  //  8: prose C with an email        -> kept, scrubbed to <EMAIL>
+  //  9: too short                    -> gopher (min length)
+  private val proseA = prose(1)
+  private val proseB = prose(2)
+  private val proseCore6 = prose(3)
+  private lazy val corpus = Seq(
+    (1L, proseA),
+    (2L, proseA),
+    (3L, proseA),
+    (4L, proseB),
+    (5L, proseB + " with one extra tail"),
+    (6L, proseCore6 + " " + ("@#$%&*!@#$%&*!" * 14)),
+    (7L, proseCore6),
+    (8L, prose(4) + " contact me at jane.doe@example.org thanks"),
+    (9L, "too short")
+  ).toDF("doc_id", "text")
+
+  private lazy val log = Curate
+    .curationLog(corpus, "doc_id", "text")
+    .collect()
+    .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+    .toMap
+
+  test("every input document gets exactly one stage row") {
+    assert(log.keySet == (1L to 9L).toSet)
+  }
+
+  test("stage attribution: gopher, exact_dup, near_dup, kept") {
+    assert(log(1L)._1 == Curate.StageKept)
+    assert(log(2L)._1 == Curate.StageExactDup)
+    assert(log(3L)._1 == Curate.StageExactDup)
+    assert(log(4L)._1 == Curate.StageKept)
+    assert(log(5L)._1 == Curate.StageNearDup)
+    assert(log(6L)._1 == Curate.StageGopher)
+    assert(log(9L)._1 == Curate.StageGopher)
+  }
+
+  test("cheap-first order: a near-dup of a gopher-DROPPED doc is kept") {
+    // 7 shares ~all 3-grams with 6's prose core, but 6 fell at the gopher
+    // stage and so never entered pair generation — 7 has no surviving
+    // near-dup partner and must be kept. (If the stages ran dedup-first,
+    // 6 < 7 would make 7 the cluster loser.)
+    assert(log(7L)._1 == Curate.StageKept)
+  }
+
+  test("scrubbed text only on kept rows, with the PII battery applied") {
+    log.foreach { case (_, (stage, scrubbed)) =>
+      assert((stage == Curate.StageKept) == (scrubbed != null))
+    }
+    assert(log(8L)._2.contains("<EMAIL>"))
+    assert(!log(8L)._2.contains("jane.doe@example.org"))
+    assert(log(1L)._2 == proseA) // clean text passes through unchanged
+  }
+
+  test("curated() returns exactly the kept rows with original columns + scrubbed") {
+    val curated = Curate.curated(corpus, "doc_id", "text")
+    assert(curated.columns.toSeq == Seq("doc_id", "text", "scrubbed"))
+    val keptIds = log.collect { case (id, (s, _)) if s == Curate.StageKept => id }
+    assert(curated.select("doc_id").as[Long].collect().sorted.toSeq ==
+      keptIds.toSeq.sorted)
+    // original text intact, scrubbed matches the log
+    curated.collect().foreach { r =>
+      assert(r.getString(2) == log(r.getLong(0))._2)
+    }
+  }
+
+  test("full(): the model scores ONLY chain survivors") {
+    // html-wrap the planted corpus the same way the flagship does
+    val raw = corpus.select(
+      concat(lit("https://t.example.org/doc/"), col("doc_id")).as("url"),
+      to_timestamp(lit("2026-01-01 00:00:00")).as("warc_ts"),
+      encode(concat(lit("<html><head><title>t</title></head><body><p>"),
+        col("text"), lit("</p></body></html>")), "UTF-8").as("html"))
+    val scored = Curate.full(raw, spark)
+    val urls = scored.select("url").as[String].collect().toSet
+    val keptIds = log.collect { case (id, (s, _)) if s == Curate.StageKept => id }
+    assert(urls == keptIds.map(id => s"https://t.example.org/doc/$id").toSet)
+    // the full docs_scored surface is present for survivors
+    Seq("sophistication", "avg_stage2", "recommendation", "overall_score",
+      "keep", "scrubbed_text").foreach(c => assert(scored.columns.contains(c)))
+  }
+
+  test("stages partition the corpus at driver scale too (sf0.001 documents)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val stages = Curate.curationLog(docs, "doc_id", "text")
+      .groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.values.sum == docs.count())
+    assert(stages.getOrElse(Curate.StageKept, 0L) > 0L)
+  }
+
+  test("forced distributed components path labels identically") {
+    // collectThreshold=0 forces the HashMin+jump loop inside the chain
+    val viaLoop = Curate.curationLog(corpus, "doc_id", "text",
+        collectThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaLoop == log.map { case (k, (s, _)) => k -> s })
+  }
+}
