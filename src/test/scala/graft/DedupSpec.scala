@@ -86,6 +86,32 @@ class DedupSpec extends SparkTestBase {
     assert(!m.contains((1L, 4L))) // no shared tokens → inner-join semantics
   }
 
+  test("prefix-filtered pairs (minJaccard > 0) equal the full inverted-index join") {
+    // adversarial shape for prefix filtering: tiny vocabulary → every doc
+    // shares tokens with every other, many pairs sit near the threshold;
+    // planted near-dups guarantee pairs ABOVE it
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val bases = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" "))
+    }
+    val nearDups = (0 until 10).map { i =>
+      (100L + i, bases(i)._2 + " " + vocab(rnd.nextInt(vocab.length)))
+    }
+    val df = (bases ++ nearDups).toDF("doc_id", "text")
+    for (n <- Seq(1, 3); t <- Seq(0.5, 0.8)) {
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val full = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = n)
+        .filter(col("jaccard") >= t).collect().map(key).toSet
+      val fast = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = n,
+        minJaccard = t).collect().map(key).toSet
+      assert(fast == full, s"n=$n t=$t: prefix path diverged from full join")
+      assert(full.nonEmpty, s"n=$n t=$t: degenerate fixture (no pairs)")
+    }
+  }
+
   test("rolling fingerprint: Column and String mirrors agree") {
     val inputs = Seq("hello world", "", "a", base, "café π∂")
     val got = inputs.toDF("t")
