@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Probe-tagged tests are measurement harnesses (min-of-N timings, stage
+// budgets) — run them on demand with `testOnly <Suite> -- -n graft.Probe`;
+// they are excluded from the default suite so `sbt test` stays a pure
+// correctness gate with stable wall-clock.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Probe")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

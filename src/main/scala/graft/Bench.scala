@@ -83,6 +83,11 @@ object ScalingAB {
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "60000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "3").toInt
     val small = sys.env.getOrElse("SPARK_GRAFT_AB_SMALL", "8").toInt
+    // job=score: the scoring pipeline (narrow, zero-shuffle — the round-4
+    // pinned number). job=curate: the composed curation chain + scoring
+    // (gopher → exact dedup → near-dup components → scrub → score): the
+    // shuffle-bearing end-to-end shape.
+    val job = sys.env.getOrElse("SPARK_GRAFT_AB_JOB", "score")
     val large = small * 4
     def session(cpus: Int): SparkSession = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -104,7 +109,19 @@ object ScalingAB {
       // full-table scan (no limit — a GlobalLimit would add a coalesce)
       val raw = spark.read.parquet(corpusDir)
       val t0 = System.nanoTime()
-      Pipeline.score(raw, spark)
+      val scored =
+        if (job == "curate")
+          // minhash strategy: the SynthCorpus is boilerplate-dense
+          // (~300k true near-dup pairs in 20k docs) — the web-scale
+          // regime of the chain, per the Curate scaladoc; the exact
+          // strategy is the oracle/sparse tool and is quadratic in
+          // cluster size by construction. materialize=true is the
+          // corpus-fits-storage regime (52 MB here); at 100 TB an
+          // operator would leave it false
+          graft.curate.Curate.full(raw, spark, strategy = "minhash",
+            materialize = true)
+        else Pipeline.score(raw, spark)
+      scored
         .agg(count(lit(1)), sum(when(col("keep"), 1L).otherwise(0L))).head()
       (System.nanoTime() - t0) / 1e9
     }
@@ -136,7 +153,7 @@ object ScalingAB {
     val effMed = (n / med32) / (4.0 * (n / med8))
     def arr(ts: Seq[Double]): String =
       ts.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(f"""{"docs":$n,"rounds":$rounds,"n_cores":$small,"t_n_docs_per_sec":$t8%.1f,"t_4n_docs_per_sec":$t32%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"times_n_sec":${arr(times8.toSeq)},"times_4n_sec":${arr(times32.toSeq)},"spread_n":"$min8%.2f-$max8%.2f s","spread_4n":"$min32%.2f-$max32%.2f s"}""")
+    println(f"""{"job":"$job","docs":$n,"rounds":$rounds,"n_cores":$small,"t_n_docs_per_sec":$t8%.1f,"t_4n_docs_per_sec":$t32%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMed%.3f,"times_n_sec":${arr(times8.toSeq)},"times_4n_sec":${arr(times32.toSeq)},"spread_n":"$min8%.2f-$max8%.2f s","spread_4n":"$min32%.2f-$max32%.2f s"}""")
   }
 }
 

@@ -3,8 +3,6 @@ package graft.curate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
-
 import graft.Pipeline
 import graft.dedup.Dedup
 import graft.functions.ComputeOnce
@@ -25,11 +23,18 @@ import graft.scrub.PiiScrub
   *      shuffle moves ~48 bytes/row, never the document text; the loser
   *      ids come back via a join that AQE broadcasts whenever the dup
   *      rate is low (the common crawl-snapshot case).
-  *   3. Near-dup dedup        — n-gram Jaccard pairs (inverted-index
-  *      join, df-capped and observable; Dedup.ngramJaccardPairs) over
-  *      the exact-dedup survivors only, then connected components
-  *      (adaptive driver union-find / HashMin+pointer-jumping) and
-  *      keep-one-per-cluster.
+  *   3. Near-dup dedup        — candidate pairs over the exact-dedup
+  *      survivors only, then connected components (adaptive driver
+  *      union-find / HashMin+pointer-jumping) and keep-one-per-cluster.
+  *      Two candidate strategies: `strategy = "exact"` (default) is the
+  *      prefix-filtered all-pairs Jaccard join — every J ≥ t pair,
+  *      DuckDB-oracle-able (q52), inherently quadratic in near-dup
+  *      CLUSTER size; `strategy = "minhash"` is the web-scale regime —
+  *      capped, observable MinHash-LSH band buckets propose candidates
+  *      and each is exactly verified (recall < 1; a missed pair keeps an
+  *      extra doc, the safe direction). On a boilerplate-dense corpus
+  *      (the scaling fixture: ~300k true pairs in 20k docs) exact is
+  *      the wrong tool by construction — use minhash.
   *   4. PII/toxicity scrub    — compiled battery, applied ONLY to kept
   *      documents.
   *
@@ -39,11 +44,12 @@ import graft.scrub.PiiScrub
   * strictly cheaper → more expensive. Model scoring composes after the
   * chain via [[full]] (survivors only reach the perplexity model).
   *
-  * Scale notes: the gopher stage recomputes on each downstream reference
-  * rather than materializing the corpus (narrow expressions over a
-  * column-pruned scan are cheaper to re-run than writing a corpus-sized
-  * intermediate; flip `persistSurvivors` when executor storage is
-  * provisioned for the survivor set). Reference behavioral basis: the
+  * Scale notes: by default the gopher stage recomputes on each
+  * downstream reference rather than materializing the corpus (narrow
+  * expressions over a column-pruned scan are cheaper to re-run than
+  * writing a corpus-sized intermediate at 100 TB); flip `materialize`
+  * to checkpoint the post-gopher frame once when the working set fits
+  * executor storage. Reference behavioral basis: the
   * reference pipeline is single-stream per-document filtering
   * (paper_analyser.py:87) — the multi-document dedup stages are the
   * graft's own 100-TB mandate (BASELINE.json north_star).
@@ -57,22 +63,34 @@ object Curate {
 
   /** Shared chain plumbing: gopher-annotated frame + the loser list.
     *
-    * @return (gophered, losers): `gophered` is `docs` plus a `__g`
-    *         gopherStats struct column; `losers` is (idCol, stage) for
+    * @return (gophered, losers): `gophered` is `docs` plus a `__keep`
+    *         gopher-keep boolean; `losers` is (idCol, stage) for
     *         every document dropped by stage 2 or 3 — stage 2 losers
     *         never feed stage 3's pair generation.
     */
   private def chain(docs: DataFrame, idCol: String, textCol: String,
                     shingleN: Int, minJaccard: Double, maxDf: Int,
-                    collectThreshold: Int,
-                    persistSurvivors: Boolean): (DataFrame, DataFrame) = {
+                    collectThreshold: Int, materialize: Boolean,
+                    strategy: String): (DataFrame, DataFrame) = {
     val id = col(idCol)
     val text = col(textCol)
     // one tokenizer pass per row (Let-bound inside gopherStats) behind a
     // Generate barrier — without it CollapseProject re-inlines the
-    // tokenizer per field reference (the round-2 trap)
-    val gophered = ComputeOnce(docs, "__g", Heuristics.gopherStats(text))
-    val gopherKept = gophered.filter(col("__g.gopher_keep"))
+    // tokenizer per field reference (the round-2 trap); only the keep
+    // bit is carried forward (the signal fields are q51's surface)
+    val gophered0 = ComputeOnce(docs, "__g", Heuristics.gopherStats(text))
+      .withColumn("__keep", col("__g.gopher_keep")).drop("__g")
+    // materialize: the chain references this frame from several branches
+    // (exact-dedup window, pair generation, final labeling) — each
+    // re-runs the upstream scan + extraction + gopher pass (~8 s per
+    // evaluation on the 20k-doc raw corpus). When the working set fits
+    // executor storage (corpus ≪ memory), one eager localCheckpoint
+    // replaces ~4 re-evaluations; at true 100-TB scale leave false —
+    // recomputing a narrow scan beats writing a corpus-sized
+    // intermediate (blocks are freed by ContextCleaner when the frame
+    // is GC'd).
+    val gophered = if (materialize) gophered0.localCheckpoint() else gophered0
+    val gopherKept = gophered.filter(col("__keep"))
 
     // stage 2: exact dedup — shuffle (id, 16-byte fingerprint) only
     val exactLosers = gopherKept
@@ -83,13 +101,28 @@ object Curate {
 
     // stage 3 input: exact-dedup survivors, text column pruned to what
     // pair generation needs
-    val exactKept0 = gopherKept.select(id, text)
+    val exactKept = gopherKept.select(id, text)
       .join(exactLosers.select(id), Seq(idCol), "left_anti")
-    val exactKept =
-      if (persistSurvivors) exactKept0.persist(StorageLevel.MEMORY_AND_DISK)
-      else exactKept0
-    val pairs = Dedup.ngramJaccardPairs(exactKept, idCol, textCol,
-      n = shingleN, minJaccard = minJaccard, maxDf = maxDf)
+    val pairs = strategy match {
+      case "exact" =>
+        // exhaustive prefix-filtered all-pairs: every J ≥ t pair found —
+        // the DuckDB-oracled configuration (q52). Output is inherently
+        // quadratic in near-dup CLUSTER size, so this is the
+        // sparse-duplication / oracle regime.
+        Dedup.ngramJaccardPairs(exactKept, idCol, textCol,
+          n = shingleN, minJaccard = minJaccard, maxDf = maxDf)
+      case "minhash" =>
+        // web-scale regime (what production crawl dedup runs): MinHash
+        // band buckets propose candidates (bucket sizes capped and
+        // observable — boilerplate mega-clusters stay near-linear),
+        // each candidate exactly verified. Recall < 1 by construction:
+        // a missed pair keeps an extra document (the safe direction).
+        Dedup.minhashPairs(exactKept, idCol, textCol,
+          shingleN = shingleN, threshold = minJaccard)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown near-dup strategy '$other' (exact | minhash)")
+    }
     val nearLosers = Dedup
       .connectedComponents(pairs, "id_a", "id_b",
         collectThreshold = collectThreshold)
@@ -112,22 +145,26 @@ object Curate {
   def curationLog(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3, minJaccard: Double = 0.8,
                   maxDf: Int = 10000, collectThreshold: Int = 1 << 20,
-                  persistSurvivors: Boolean = false): DataFrame = {
+                  materialize: Boolean = false,
+                  strategy: String = "exact"): DataFrame = {
     val id = col(idCol)
     val text = col(textCol)
     val (gophered, losers) = chain(docs, idCol, textCol, shingleN,
-      minJaccard, maxDf, collectThreshold, persistSurvivors)
-    val gopherDropped = gophered.filter(!col("__g.gopher_keep"))
-      .select(id, lit(StageGopher).as("stage"),
-        lit(null).cast("string").as("scrubbed"))
-    val labeled = gophered.filter(col("__g.gopher_keep"))
-      .select(id, text)
+      minJaccard, maxDf, collectThreshold, materialize, strategy)
+    // single-branch labeling: one left join over ALL docs instead of a
+    // filter-split + union (the split evaluated the gopher subtree once
+    // per branch — measured ~6 s/evaluation on the 20k-doc raw corpus).
+    // A gopher-dropped doc can't be in `losers` (losers ⊂ gopher
+    // survivors), so its joined stage is null and the CASE falls through
+    // to 'gopher'; the scrub runs lazily only on kept rows.
+    gophered
       .join(losers, Seq(idCol), "left")
-      .withColumn("stage", coalesce(col("stage"), lit(StageKept)))
-      .select(id, col("stage"),
-        when(col("stage") === StageKept, PiiScrub.scrub(text))
+      .withColumn("__stage",
+        when(!col("__keep"), lit(StageGopher))
+          .otherwise(coalesce(col("stage"), lit(StageKept))))
+      .select(id, col("__stage").as("stage"),
+        when(col("__stage") === StageKept, PiiScrub.scrub(text))
           .otherwise(lit(null).cast("string")).as("scrubbed"))
-    gopherDropped.unionByName(labeled)
   }
 
   /** Chain survivors with every input column intact plus `scrubbed` —
@@ -137,11 +174,12 @@ object Curate {
   def curated(docs: DataFrame, idCol: String, textCol: String,
               shingleN: Int = 3, minJaccard: Double = 0.8,
               maxDf: Int = 10000, collectThreshold: Int = 1 << 20,
-              persistSurvivors: Boolean = false): DataFrame = {
+              materialize: Boolean = false,
+              strategy: String = "exact"): DataFrame = {
     val (gophered, losers) = chain(docs, idCol, textCol, shingleN,
-      minJaccard, maxDf, collectThreshold, persistSurvivors)
-    gophered.filter(col("__g.gopher_keep"))
-      .drop("__g")
+      minJaccard, maxDf, collectThreshold, materialize, strategy)
+    gophered.filter(col("__keep"))
+      .drop("__keep")
       .join(losers.select(col(idCol)), Seq(idCol), "left_anti")
       .withColumn("scrubbed", PiiScrub.scrub(col(textCol)))
   }
@@ -158,13 +196,14 @@ object Curate {
            cfg: Pipeline.Config = Pipeline.Config(),
            shingleN: Int = 3, minJaccard: Double = 0.8,
            maxDf: Int = 10000, collectThreshold: Int = 1 << 20,
-           persistSurvivors: Boolean = false): DataFrame = {
+           materialize: Boolean = false,
+           strategy: String = "exact"): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val extracted = docsRaw
       .withColumn("text", call_function("graft_extract_clean", col("html")))
       .drop("html")
     val survivors = curated(extracted, "url", "text", shingleN, minJaccard,
-      maxDf, collectThreshold, persistSurvivors).drop("scrubbed")
+      maxDf, collectThreshold, materialize, strategy).drop("scrubbed")
     // scoreExtracted re-applies the scrub on its own output column
     Pipeline.scoreExtracted(survivors, spark, cfg)
   }

@@ -63,10 +63,18 @@ object Dedup {
   }
 
   /** MinHash signature: k independent hash functions h_i(s) =
-    * xxhash64(i, s); signature[i] = min over shingles. One aggregate pass:
-    * acc = zip_with(acc, hashes(s), least).
+    * xxhash64(i, s); signature[i] = min over shingles. Runs as the fused
+    * native MinHashSigExpr (one scan, precomputed lane seeds); the
+    * `aggregate`/`zip_with` reference form below evaluates k interpreted
+    * lambdas PER SHINGLE — identical values (DedupSpec parity test).
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      MinHashSigExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(shingleCol), k))
+
+  /** The pure-Catalyst reference form (kept for the parity test). */
+  def minhashSignatureHof(shingleCol: Column, k: Int): Column = {
     val init = array_repeat(lit(Long.MaxValue), k)
     val hashesOf: Column => Column =
       s => transform(sequence(lit(0), lit(k - 1)), i => xxhash64(i, s))
@@ -93,10 +101,17 @@ object Dedup {
                    shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                    threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // Generate barriers: `sh` is consumed by the size filter AND the
+    // signature aggregate (and by the verify joins below); `sig` by the
+    // band exploder — without the barriers CollapseProject re-inlines a
+    // full re-shingling / re-signing per reference per row (the q52
+    // regression, round-5)
+    val toks = graft.functions.ComputeOnce(
+      df.select(col(idCol).as("id"), col(textCol)),
+      "sh", shingles(col(textCol), shingleN)).select("id", "sh")
+    val withSig = graft.functions.ComputeOnce(
+      toks.filter(size(col("sh")) > 0),
+      "sig", minhashSignature(col("sh"), numHashes))
       .withColumn("bucket", explode(bandKeys(col("sig"), bands, rowsPerBand)))
 
     // candidate pairs within buckets; cap pathological buckets (a corpus of
@@ -126,7 +141,7 @@ object Dedup {
       .distinct()
 
     // exact verification join (per-bucket candidates only — never N²)
-    val sets = df.select(col(idCol).as("vid"), shingles(col(textCol), shingleN).as("vsh"))
+    val sets = toks.select(col("id").as("vid"), col("sh").as("vsh"))
     pairs
       .join(sets.withColumnRenamed("vid", "id_a").withColumnRenamed("vsh", "sh_a"), "id_a")
       .join(sets.withColumnRenamed("vid", "id_b").withColumnRenamed("vsh", "sh_b"), "id_b")

@@ -55,6 +55,63 @@ object SimHash {
   def computeLong(u: UTF8String): Long = compute(u.toLowerCase.toString)
 }
 
+/** Fused single-pass MinHash signature (the array<long> of
+  * Dedup.minhashSignatureHof).
+  *
+  * The pure-Catalyst form is `aggregate(sh, init, zip_with(acc,
+  * transform(sequence, i => xxhash64(i, s)), least))` — k interpreted
+  * lambda evaluations with boxing PER SHINGLE (k=32 → ~10⁸ lambda evals
+  * on a 20k-doc corpus; the same interpreted-HOF shape SimHashExpr
+  * replaced). This computes the identical signature in one scan: lane
+  * seeds are `xxhash64`'s running-hash after the lane index
+  * (XxHash64Function.hash(i, IntegerType, 42) — exactly how the
+  * two-argument `xxhash64(i, s)` chains), then every shingle hashes once
+  * per lane with the precomputed seed and min-reduces. Bit-identical to
+  * the HOF form including the empty-array (all Long.MaxValue) and
+  * null-element (hash = lane seed, Spark's null-skipping hash semantics)
+  * cases — DedupSpec parity-tests all three.
+  *
+  * CodegenFallback: the per-row cost is the k×|sh| hashing itself; the
+  * call is usually inside a ComputeOnce Generate where interp overhead
+  * is per-row, not per-hash.
+  */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(k)(i =>
+      XxHash64Function.hash(i, org.apache.spark.sql.types.IntegerType, 42L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val s: UTF8String = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+      var i = 0
+      while (i < k) {
+        val h =
+          if (s == null) seeds(i) // xxhash64 skips null children
+          else XxHash64Function.hash(s, StringType, seeds(i))
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_sig"
+}
+
 /** Catalyst wrapper, registered as `graft_simhash`. */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -79,6 +79,46 @@ object StreamingPipeline {
         col("__g.stopword_ratio").as("stopword_ratio"),
         col("__g.gopher_keep").as("gopher_keep"))
 
+  /** Streaming face of the composed curation chain (Curate.curationLog's
+    * cheap-first order, re-expressed with streaming-native operators):
+    *
+    *   1. Gopher pre-filter — stateless narrow projection, unchanged.
+    *   2. Exact dedup — `dropDuplicates` on the md5 content key
+    *      (state-store-backed; the kept row is the FIRST ARRIVAL, the
+    *      honest streaming analog of the batch min-id keeper — a stream
+    *      cannot retro-swap an emitted survivor).
+    *   3. Near-dup — `dropDuplicates` on the 64-bit SimHash key: only
+    *      documents whose full fingerprint collides are treated as
+    *      near-dups. This is deliberately a CONSERVATIVE approximation
+    *      of the batch chain's Jaccard-threshold components (an
+    *      iterative fixpoint has no incremental form); disable with
+    *      `simhashNearDup = false` to defer near-dup handling to a
+    *      periodic batch `Curate.curationLog` over the sink.
+    *   4. PII/toxicity scrub of the survivors.
+    *
+    * Output: the surviving rows with original columns plus `scrubbed`.
+    * StreamingCurateSpec proves micro-batches ≡ the batch chain stages
+    * on the stages that have exact streaming semantics.
+    */
+  def curateStream(docs: DataFrame, idCol: String, textCol: String,
+                   simhashNearDup: Boolean = true): DataFrame = {
+    val text = col(textCol)
+    val gophered = graft.functions.ComputeOnce(docs, "__g",
+        graft.rules.Heuristics.gopherStats(text))
+      .filter(col("__g.gopher_keep"))
+      .drop("__g")
+    val exact = gophered
+      .withColumn("__dup_key", md5(text.cast("binary")))
+      .dropDuplicates("__dup_key")
+      .drop("__dup_key")
+    val near =
+      if (!simhashNearDup) exact
+      else exact.withColumn("__sim", graft.dedup.Dedup.simhash(text))
+        .dropDuplicates("__sim")
+        .drop("__sim")
+    near.withColumn("scrubbed", graft.scrub.PiiScrub.scrub(text))
+  }
+
   /** Windowed keep-rate monitoring: 1-minute tumbling windows on warc_ts
     * with a 2-minute watermark — late crawl records beyond the watermark are
     * dropped, state is bounded (north-star driver-light requirement).

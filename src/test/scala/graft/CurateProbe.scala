@@ -61,6 +61,39 @@ class CurateProbe extends SparkTestBase {
     }
   }
 
+  test("chain budget on the scaling corpus (long docs)", ProbeTag) {
+    val dir = "/tmp/graft_scaling_corpus_20000"
+    assume(new java.io.File(dir + "/_SUCCESS").exists(), "corpus not materialized")
+    graft.functions.GraftFunctions.register(spark)
+    val raw = spark.read.parquet(dir)
+    t("raw count")(raw.count())
+    val extracted = raw
+      .withColumn("text", call_function("graft_extract_clean", col("html")))
+      .drop("html")
+    t("extract count")(extracted.count())
+    t("doc bytes") {
+      info(extracted.select(avg(length(col("text"))),
+        max(length(col("text")))).head().toString)
+    }
+    val g = graft.functions.ComputeOnce(extracted.select(col("url"), col("text")),
+      "__g", graft.rules.Heuristics.gopherStats(col("text")))
+    t("gopher count")(g.filter(col("__g.gopher_keep")).count())
+    val toks = graft.functions.ComputeOnce(
+      extracted.select(col("url").as("id"), col("text")),
+      "sh", Dedup.shingles(col("text"), 3)).select("id", "sh")
+    t("toks count")(toks.count())
+    t("postings count") {
+      info(toks.select(explode(col("sh"))).count().toString)
+    }
+    t("pairs count") {
+      info(Dedup.ngramJaccardPairs(extracted, "url", "text", n = 3,
+        minJaccard = 0.8).count().toString)
+    }
+    t("curationLog count") {
+      Curate.curationLog(extracted, "url", "text").count()
+    }
+  }
+
   test("q52 stage budget at sf0.1", ProbeTag) {
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val id = col("doc_id"); val text = col("text")
@@ -88,8 +121,8 @@ class CurateProbe extends SparkTestBase {
     t("curationLog full count") {
       Curate.curationLog(docs, "doc_id", "text").count()
     }
-    t("curationLog persistSurvivors=true count") {
-      Curate.curationLog(docs, "doc_id", "text", persistSurvivors = true)
+    t("curationLog materialize=true count") {
+      Curate.curationLog(docs, "doc_id", "text", materialize = true)
         .count()
     }
   }

@@ -124,6 +124,21 @@ class CurateSpec extends SparkTestBase {
     assert(stages.getOrElse(Curate.StageKept, 0L) > 0L)
   }
 
+  test("minhash strategy finds the planted clusters (stage-identical here)") {
+    // at the planted similarities (J ≈ 0.9+) the 8×4 band scheme's
+    // collision probability is ~1-(1-J⁴)⁸ ≈ 0.999 — and LSH is
+    // deterministic given the corpus, so on this fixture the capped
+    // minhash chain must reproduce the exact chain's stages
+    val viaMinhash = Curate.curationLog(corpus, "doc_id", "text",
+        strategy = "minhash")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaMinhash == log.map { case (k, (s, _)) => k -> s })
+    // unknown strategy fails fast
+    intercept[IllegalArgumentException] {
+      Curate.curationLog(corpus, "doc_id", "text", strategy = "typo")
+    }
+  }
+
   test("forced distributed components path labels identically") {
     // collectThreshold=0 forces the HashMin+jump loop inside the chain
     val viaLoop = Curate.curationLog(corpus, "doc_id", "text",

@@ -156,6 +156,29 @@ class DedupSpec extends SparkTestBase {
       maxDf = 10000).count() == 30L * 29L / 2)
   }
 
+  test("native MinHashSigExpr ≡ the aggregate/zip_with HOF form") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, i match {
+        case 0 => ""                        // empty → all Long.MaxValue
+        case 1 => "   "                     // blank → empty shingle set
+        case 2 => "one two"                 // fewer tokens than n
+        case _ => Seq.fill(3 + rnd.nextInt(40))(
+          s"w${rnd.nextInt(30)}" + (if (rnd.nextBoolean()) "é" else ""))
+          .mkString(" ")
+      })
+    }.toDF("doc_id", "text")
+    for (k <- Seq(1, 32)) {
+      val rows = docs.select(
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), k).as("native"),
+        Dedup.minhashSignatureHof(Dedup.shingles(col("text"), 3), k).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k diverged")
+      }
+    }
+  }
+
   test("minhash signature is partition-invariant") {
     val many = spark.range(0, 50).select(col("id").as("doc_id"),
       concat(lit("doc text sample number "), col("id"),
