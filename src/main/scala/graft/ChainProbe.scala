@@ -40,6 +40,39 @@ object ChainProbe {
       graft.functions.ComputeOnce(toks.filter(size(col("sh")) > 0), "sig",
         graft.dedup.Dedup.minhashSignature(col("sh"), 32)).count()
     }
+    // minhashPairs internals, re-created stage by stage
+    locally {
+      val toksB = graft.functions.ComputeOnce(extracted, "sh",
+        graft.dedup.Dedup.shingles(col("text"), 3)).select("id", "sh")
+        .localCheckpoint()
+      val withSig = graft.functions.ComputeOnce(
+        toksB.filter(size(col("sh")) > 0),
+        "sig", graft.dedup.Dedup.minhashSignature(col("sh"), 32))
+        .withColumn("bucket",
+          explode(graft.dedup.Dedup.bandKeys(col("sig"), 8, 4)))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("id")
+      val capped = withSig.select(col("bucket"), col("id"))
+        .withColumn("rnk", row_number().over(wB))
+        .filter(col("rnk") <= 64).drop("rnk").localCheckpoint()
+      t("  capped postings (from toks ck)")(capped.count())
+      val cand = capped.as("x").join(capped.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      t("  raw cand rows")(cand.count())
+      val candD = cand.distinct().localCheckpoint()
+      t("  distinct cand")(candD.count())
+      t("  verify join") {
+        candD
+          .join(toksB.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(toksB.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .withColumn("uni",
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .filter(col("inter") / col("uni") >= 0.8).count()
+      }
+    }
     val pairs = graft.dedup.Dedup.minhashPairs(extracted, "id", "text",
       threshold = 0.8)
     t("minhashPairs count")(pairs.count())
