@@ -281,7 +281,11 @@ object SparkEntry {
     // survivors, which are only gopher survivors; the DuckDB oracle
     // replicates the full nesting end-to-end including the scrubbed text.
     "q52_curation_chain" -> ((s, dir) => {
-      graft.curate.Curate.curationLog(docs(s, dir), "doc_id", "text")
+      // materialize: execution knob only (checkpoint the post-gopher
+      // frame once — the sf tables fit storage by orders of magnitude);
+      // oracle semantics identical
+      graft.curate.Curate.curationLog(docs(s, dir), "doc_id", "text",
+        materialize = true)
         .orderBy("doc_id")
     }),
 
@@ -848,8 +852,8 @@ object SparkEntry {
            |  FROM ggrams),
            |gk AS (
            |  SELECT doc_id, text,
-           |    (lt >= 50 AND nt BETWEEN 10 AND 200000 AND mwl BETWEEN 2.0 AND 12.0
-           |      AND sym < 0.30 AND dl < 0.50 AND dg < 0.80) AS gopher_keep
+           |    COALESCE(lt >= 50 AND nt BETWEEN 10 AND 200000 AND mwl BETWEEN 2.0 AND 12.0
+           |      AND sym < 0.30 AND dl < 0.50 AND dg < 0.80, FALSE) AS gopher_keep
            |  FROM gsig),
            |gkeep AS (SELECT doc_id, text FROM gk WHERE gopher_keep),
            |elos AS (

@@ -78,8 +78,13 @@ object Curate {
     // Generate barrier — without it CollapseProject re-inlines the
     // tokenizer per field reference (the round-2 trap); only the keep
     // bit is carried forward (the signal fields are q51's surface)
+    // null text ⇒ gopher-dropped, not silently kept: every gopher signal
+    // is null on null input, so an un-coalesced keep bit would three-
+    // valued-logic its way past BOTH the drop branch and the loser join
+    // straight to 'kept' (and real crawls do carry null extractions)
     val gophered0 = ComputeOnce(docs, "__g", Heuristics.gopherStats(text))
-      .withColumn("__keep", col("__g.gopher_keep")).drop("__g")
+      .withColumn("__keep", coalesce(col("__g.gopher_keep"), lit(false)))
+      .drop("__g")
     // materialize: the chain references this frame from several branches
     // (exact-dedup window, pair generation, final labeling) — each
     // re-runs the upstream scan + extraction + gopher pass (~8 s per

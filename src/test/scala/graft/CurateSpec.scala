@@ -47,7 +47,8 @@ class CurateSpec extends SparkTestBase {
     (6L, proseCore6 + " " + ("@#$%&*!@#$%&*!" * 14)),
     (7L, proseCore6),
     (8L, prose(4) + " contact me at jane.doe@example.org thanks"),
-    (9L, "too short")
+    (9L, "too short"),
+    (10L, null.asInstanceOf[String]) // null extraction -> gopher-dropped
   ).toDF("doc_id", "text")
 
   private lazy val log = Curate
@@ -57,7 +58,7 @@ class CurateSpec extends SparkTestBase {
     .toMap
 
   test("every input document gets exactly one stage row") {
-    assert(log.keySet == (1L to 9L).toSet)
+    assert(log.keySet == (1L to 10L).toSet)
   }
 
   test("stage attribution: gopher, exact_dup, near_dup, kept") {
@@ -68,6 +69,10 @@ class CurateSpec extends SparkTestBase {
     assert(log(5L)._1 == Curate.StageNearDup)
     assert(log(6L)._1 == Curate.StageGopher)
     assert(log(9L)._1 == Curate.StageGopher)
+    // null text: every gopher signal is null — without the coalesced
+    // keep bit this row sailed through three-valued logic to 'kept'
+    assert(log(10L)._1 == Curate.StageGopher)
+    assert(log(10L)._2 == null)
   }
 
   test("cheap-first order: a near-dup of a gopher-DROPPED doc is kept") {
