@@ -144,6 +144,20 @@ class CurateSpec extends SparkTestBase {
     }
   }
 
+  test("AQE broadcasts the loser-labeling join when the loser set is small") {
+    // the scaladoc's scale claim: the loser ids come back via a join
+    // that AQE converts to broadcast whenever the dup rate is low (the
+    // common crawl-snapshot case) — so labeling needs NO shuffle of the
+    // document text. Assert it on the final adaptive plan.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val log = Curate.curationLog(docs, "doc_id", "text")
+    // collect(), not head(): head() plans a SEPARATE limited query
+    assert(log.collect().length == docs.count())
+    val finalPlan = log.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"loser join should broadcast under AQE; plan:\n${finalPlan.take(4000)}")
+  }
+
   test("forced distributed components path labels identically") {
     // collectThreshold=0 forces the HashMin+jump loop inside the chain
     val viaLoop = Curate.curationLog(corpus, "doc_id", "text",
