@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-6 optimization probes (guide §1.4: isolate computations with the
+  * noop sink / count actions; NOT part of the driver contract — the driver's
+  * bench is graft.Bench, unchanged). Stage budgets for the q52 curation
+  * chain and the similarity family at the driver's bench configuration.
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  *     sbt -batch "runMain graft.BenchExtra"
+  */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count() // footer warm
+
+    // min-of-2 (steal): each timed body builds its frame fresh
+    def t(label: String)(body: => Any): Double = {
+      def once(): Double = {
+        spark.sparkContext.setJobDescription(label)
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val s = math.min(once(), once())
+      println(f"[extra] $label%-52s $s%7.3f s")
+      s
+    }
+
+    val mode = sys.env.getOrElse("SPARK_GRAFT_EXTRA", "chain")
+
+    if (mode.contains("chain")) {
+      import graft.rules.Heuristics
+      // stage 0: scan + gopher keep-bit
+      def gophered0 = graft.functions.ComputeOnce(docs, "__g",
+        Heuristics.gopherStats(col("text")))
+        .withColumn("__keep", coalesce(col("__g.gopher_keep"), lit(false)))
+        .drop("__g")
+      t("gopher: keep-bit count")(gophered0.count())
+      t("gopher: localCheckpoint (materialize job)") {
+        val ck = gophered0.localCheckpoint()
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(ck)
+      }
+      val gophered = gophered0.localCheckpoint()
+      val gopherKept = gophered.filter(col("__keep"))
+      val id = col("doc_id"); val text = col("text")
+
+      // stage 2 exact dedup: window form (current) vs groupBy form
+      def exactLosersWin = gopherKept
+        .select(id, md5(text.cast("binary")).as("__fp"))
+        .withColumn("__keeper", min(id).over(Window.partitionBy("__fp")))
+        .filter(id =!= col("__keeper"))
+        .select(id, lit("exact_dup").as("stage"))
+      def fps = gopherKept.select(id, md5(text.cast("binary")).as("__fp"))
+      def exactLosersGrp = fps
+        .join(fps.groupBy("__fp")
+          .agg(min(id).as("__keeper"), count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).select("__fp", "__keeper"), "__fp")
+        .filter(id =!= col("__keeper"))
+        .select(id, lit("exact_dup").as("stage"))
+      t("exact dedup: window form count")(exactLosersWin.count())
+      t("exact dedup: groupBy+join form count")(exactLosersGrp.count())
+
+      def exactKept = gopherKept.select(id, text)
+        .join(exactLosersWin.select(id), Seq("doc_id"), "left_anti")
+      t("exactKept count")(exactKept.count())
+
+      // stage 3: prefix-filtered pairs
+      def pairs = graft.dedup.Dedup.ngramJaccardPairs(exactKept,
+        "doc_id", "text", n = 3, minJaccard = 0.8, maxDf = 10000)
+      t("prefix pairs: count")(pairs.count())
+      t("components over pairs (incl. pair ckpt)") {
+        graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+      }
+
+      // the whole thing, both materialize settings, as the bench times it
+      t("q52 curationLog(materialize=true).count") {
+        graft.curate.Curate.curationLog(docs, "doc_id", "text",
+          materialize = true).count()
+      }
+      t("q52 curationLog(materialize=false).count") {
+        graft.curate.Curate.curationLog(docs, "doc_id", "text",
+          materialize = false).count()
+      }
+      t("q53 stages(materialize=true).count") {
+        graft.curate.Curate.curationLog(docs, "doc_id", "text",
+          materialize = true)
+          .groupBy("stage").agg(count(lit(1)).as("n")).count()
+      }
+      org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(gophered)
+    }
+
+    if (mode.contains("prefix")) {
+      import graft.rules.Heuristics
+      val gophered = graft.functions.ComputeOnce(docs, "__g",
+        Heuristics.gopherStats(col("text")))
+        .withColumn("__keep", coalesce(col("__g.gopher_keep"), lit(false)))
+        .drop("__g").localCheckpoint()
+      val id = col("doc_id"); val text = col("text")
+      val gopherKept = gophered.filter(col("__keep"))
+      val exactLosersWin = gopherKept
+        .select(id, md5(text.cast("binary")).as("__fp"))
+        .withColumn("__keeper", min(id).over(Window.partitionBy("__fp")))
+        .filter(id =!= col("__keeper")).select(id)
+      val exactKept = gopherKept.select(id, text)
+        .join(exactLosersWin, Seq("doc_id"), "left_anti")
+        .localCheckpoint() // isolate the prefix pipeline itself
+      println(s"[extra] exactKept rows = ${exactKept.count()}")
+
+      def toksPlain = graft.functions.ComputeOnce(
+        exactKept.select(col("doc_id").as("id"), col("text")),
+        "sh", graft.dedup.Dedup.shingles(col("text"), 3)).select("id", "sh")
+      t("toks (shingles) count over ckpt exactKept")(toksPlain.count())
+      val toks = toksPlain.localCheckpoint()
+      t("toks ckpt job") { toksPlain.localCheckpoint().count() }
+
+      val tP = 0.8 - 1e-6
+      val wTok = Window.partitionBy("tok")
+      val wDoc = Window.partitionBy("id").orderBy("df", "tok")
+      def posts = toks
+        .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
+        .withColumn("df", count(lit(1)).over(wTok))
+        .filter(col("df") <= 10000)
+      t("posts (df window) count")(posts.count())
+      def prefix = posts
+        .withColumn("rk", row_number().over(wDoc))
+        .filter(col("rk") <= col("sz") - ceil(lit(tP) * col("sz")) + lit(1))
+        .select("id", "sz", "tok")
+      t("prefix (rk window) count")(prefix.count())
+      val prefixCk = prefix.localCheckpoint()
+      def cand = prefixCk.as("x").join(prefixCk.as("y"),
+          col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
+            col("y.sz").cast("double") >= lit(tP) * col("x.sz") &&
+            col("x.sz").cast("double") >= lit(tP) * col("y.sz"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+      t("cand join+distinct count (ckpt prefix)")(cand.count())
+      val candCk = cand.localCheckpoint()
+      println(s"[extra] cand rows = ${candCk.count()}")
+      t("verify joins (ckpt cand+toks)") {
+        candCk
+          .join(toks.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(toks.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+          .withColumn("jaccard",
+            round(col("inter").cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 6))
+          .filter(col("jaccard") >= 0.8).count()
+      }
+      t("whole prefix path over ckpt exactKept") {
+        graft.dedup.Dedup.ngramJaccardPairs(exactKept, "doc_id", "text",
+          n = 3, minJaccard = 0.8, maxDf = 10000).count()
+      }
+    }
+
+    if (mode.contains("sim")) {
+      def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      emb.count()
+      t("q25 cosineNearDupPairs.count") {
+        graft.similarity.Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.35, numPlanes = 6).count()
+      }
+      t("q23 bruteForceTopK.count") {
+        graft.similarity.Ann.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3).count()
+      }
+      t("q40 ivfTopK.count") {
+        graft.similarity.Ivf.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nList = 8, nProbe = 8, iters = 3).count()
+      }
+      t("q20 ngramJaccard(n=1).count") {
+        graft.dedup.Dedup.ngramJaccardPairs(
+          docs.filter(col("doc_id") < 20), "doc_id", "text", n = 1).count()
+      }
+      t("q50 components(q25 pairs).count") {
+        graft.dedup.Dedup.connectedComponents(
+          graft.similarity.Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
+            threshold = 0.35, numPlanes = 6), "id_a", "id_b").count()
+      }
+    }
+    spark.stop()
+  }
+}
