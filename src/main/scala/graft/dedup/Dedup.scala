@@ -62,6 +62,23 @@ object Dedup {
     }
   }
 
+  /** Distinct xxhash64 digests of the word n-gram shingles — the
+    * pair-generation representation (native one-scan HashedShinglesExpr,
+    * ≡ `transform(shingles(text, n), s => xxhash64(s))` bit-identically;
+    * DedupSpec parity test). Candidate joins and exact verification only
+    * need shingle EQUALITY, so the 64-bit digests replace the strings:
+    * the shingle pass drops from ~0.6 ms/doc (interpreted HOF string
+    * assembly) to ~µs/doc, postings/verify shuffles shrink ~3×, and
+    * array_intersect runs on longs. Digest-collision probability per
+    * pair is ~|A|·|B|/2⁶⁴ ≈ 1e-14 at realistic shingle counts — the
+    * same adjudicated tolerance as the round-5 hashed-shingle LSH
+    * verification.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      HashedShinglesExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
   /** MinHash signature: k independent hash functions h_i(s) =
     * xxhash64(i, s); signature[i] = min over shingles. Runs as the fused
     * native MinHashSigExpr (one scan, precomputed lane seeds); the
@@ -255,10 +272,13 @@ object Dedup {
     // Generate barrier: `sh` is consumed by size() AND explode() (and on
     // the prefix path by the verify joins) — as a plain projection alias
     // CollapseProject would inline the whole shingle builder into every
-    // reference (one full re-shingling per reference per row)
+    // reference (one full re-shingling per reference per row).
+    // Pair paths run on HASHED shingles (64-bit digests — see
+    // hashedShingles): `tok` join keys, sizes and intersections are
+    // digest-equality, never shingle text.
     val toks = graft.functions.ComputeOnce(
       df.select(col(idCol).as("id"), col(textCol)),
-      "sh", shingles(col(textCol), n)).select("id", "sh")
+      "sh", hashedShingles(col(textCol), n)).select("id", "sh")
     if (minJaccard > 0.0) return prefixFilteredPairs(toks, minJaccard, maxDf)
     val sizes = toks.select(col("id"), size(col("sh")).as("sz"))
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")

@@ -302,20 +302,31 @@ object Heuristics {
       dupLineFraction(c) < 0.50 &&
       dupNgramFraction(c, 3) < 0.80
 
-  /** All Gopher signals + the keep rule in ONE pass per row. The naive
+  /** All Gopher signals + the keep rule in ONE pass per row — the native
+    * single-scan GopherStatsExpr (round 6; ~0.23 ms/doc of interpreted
+    * HOF lambda evaluation removed from the q51/q52/q53 paths). Field
+    * values equal the individual functions UP TO `round(_, 6)` — the
+    * ratio fields are rounded for oracle hash stability, the standalone
+    * Columns are not (GopherSpec proves field-for-field equality against
+    * the Column functions AND against the Let-bound HOF composition
+    * below; `gopher_keep` compares the UNROUNDED values, so the keep bit
+    * is exactly `gopherKeep`). Consume behind a ComputeOnce barrier so
+    * the struct is computed once, not per field reference.
+    */
+  def gopherStats(c: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      GopherStatsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), n))
+
+  /** The Let-bound pure-Catalyst composition (kept as the parity-test
+    * reference surface for the native expression). The naive
     * composition above is correct but CollapseProject inlines the
     * tokenizer into every reference (~20 copies of the token array per
     * row in q51's original plan — the round-2 trap); here the line,
     * token, and n-gram arrays are Let-bound once and every ratio reads
-    * the binding. Field values equal the individual functions UP TO
-    * `round(_, 6)` — the ratio fields here are rounded for oracle hash
-    * stability, the standalone Columns are not (GopherSpec proves
-    * equality after rounding both sides; `gopher_keep` compares the
-    * UNROUNDED values, so the keep bit is exactly `gopherKeep`). Consume
-    * behind a ComputeOnce barrier so the struct itself is not re-inlined
-    * per field.
+    * the binding.
     */
-  def gopherStats(c: Column, n: Int = 3): Column = {
+  def gopherStatsHof(c: Column, n: Int = 3): Column = {
     import graft.functions.Let
     Let(nonEmptyLines(c)) { lines =>
       Let(tokensOrEmpty(c, lowered = false)) { tok =>

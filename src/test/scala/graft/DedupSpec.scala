@@ -156,6 +156,45 @@ class DedupSpec extends SparkTestBase {
       maxDf = 10000).count() == 30L * 29L / 2)
   }
 
+  test("native HashedShinglesExpr ≡ transform(shingles, xxhash64), stays in codegen") {
+    val rnd = new scala.util.Random(37)
+    val edge = Seq(
+      "",                      // empty → empty array
+      "   ",                   // blank (spaces trim away) → empty array
+      "one two",               // fewer tokens than n
+      "\thello world now",     // leading tab survives trim → leading "" token
+      "ends with tab\t",       // trailing ws run → trailing "" token
+      "a  bc\nd e f",    // mixed Java-\s separators incl. vertical tab
+      "MIXED Case ÉÀ tokens ß here",      // non-ASCII lowercase path
+      "répé tée répé tée répé tée words", // repeated shingles → distinct
+      "七 是 一 个 数字 和 更多 词")       // multi-byte UTF-8
+    val docs = (edge.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      (100 until 160).map { i =>
+        (i.toLong, Seq.fill(3 + rnd.nextInt(40))(
+          s"w${rnd.nextInt(30)}" + (if (rnd.nextBoolean()) "é" else ""))
+          .mkString(" "))
+      }).toDF("doc_id", "text")
+    for (n <- Seq(1, 3)) {
+      val rows = docs.select(
+        Dedup.hashedShingles(col("text"), n).as("native"),
+        transform(Dedup.shingles(col("text"), n), s => xxhash64(s)).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n diverged")
+      }
+    }
+    // null text → null (mirrors the Column form's null propagation)
+    val nr = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(Dedup.hashedShingles(col("text"), 3).as("native"),
+        transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)).as("ref"))
+      .head()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+    // codegen: the expression must not split the span (no CodegenFallback)
+    val plan = spark.range(3).select(Dedup.hashedShingles(
+      concat(lit("tok "), col("id").cast("string")), 3).as("s"))
+    assert(plan.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
   test("native MinHashSigExpr ≡ the aggregate/zip_with HOF form") {
     val rnd = new scala.util.Random(23)
     val docs = (0 until 60).map { i =>

@@ -65,6 +65,42 @@ class GopherSpec extends SparkTestBase {
     }
   }
 
+  test("native gopherStats ≡ the Let-bound HOF composition (incl. null/fuzz)") {
+    val rnd = new scala.util.Random(41)
+    val edge = Seq(
+      null.asInstanceOf[String], "", "   ", "\n", " \n \n", "a\r\nb\r\na\r",
+      " lead nbsp token　ideographic", "ab c d",
+      "ünïcödé Wörds ÜNÏCÖDÉ wörds ß İ", "x y X Y x",
+      "line one\nline one\n  line one  \nline two",
+      ("the model predicts that energy is conserved in a closed system " +
+        "and we can derive the relation for momentum with care ") * 3)
+    val fuzz = (0 until 150).map { _ =>
+      val alphabet = "ab .\n\té$= X\r"
+      (0 until rnd.nextInt(120)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val corpus = graft.fixtures.SynthCorpus.docsRaw(spark, 150, 4).toDF()
+      .withColumn("text", graft.extract.Clean.basicClean(
+        graft.extract.HtmlText.extractCol(col("html")))).select("text")
+    import spark.implicits._
+    for (n <- Seq(2, 3); df <- Seq((edge ++ fuzz).toDF("text"), corpus)) {
+      val rows = graft.functions.ComputeOnce(
+        graft.functions.ComputeOnce(df, "nat", Heuristics.gopherStats(col("text"), n)),
+        "hof", Heuristics.gopherStatsHof(col("text"), n))
+        .select(col("nat.*"), col("hof.*")).collect()
+      rows.foreach { r =>
+        (0 until 6).foreach { i =>
+          assert(r.get(i) == r.get(i + 6),
+            s"n=$n field $i: native=${r.get(i)} hof=${r.get(i + 6)}")
+        }
+      }
+    }
+    // codegen: the expression must not split the span
+    val plan = spark.range(3).select(Heuristics.gopherStats(
+      concat(lit("tok "), col("id").cast("string"))).as("g"))
+    assert(plan.queryExecution.executedPlan.toString.contains("*(1)"))
+  }
+
   test("tokenizer unicode-whitespace semantics match the q51 oracle class") {
     // the q51 DuckDB oracle tokenizes with the RE2 class
     // [\t\n\x0B\f\r\x{0085}\x{2028}\x{2029}\p{Zs}]+ — the Unicode
