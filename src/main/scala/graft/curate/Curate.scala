@@ -1,7 +1,6 @@
 package graft.curate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Pipeline
 import graft.dedup.Dedup
@@ -18,11 +17,14 @@ import graft.scrub.PiiScrub
   *      (`Heuristics.gopherStats` behind a ComputeOnce barrier): zero
   *      shuffles, whole-stage codegen, drops degenerate text before
   *      anything pays a shuffle for it.
-  *   2. Exact dedup           — min-id per md5 fingerprint. The window
-  *      runs over a PROJECTED (id, fingerprint) frame, so the one
-  *      shuffle moves ~48 bytes/row, never the document text; the loser
-  *      ids come back via a join that AQE broadcasts whenever the dup
-  *      rate is low (the common crawl-snapshot case).
+  *   2. Exact dedup           — min-id per md5 fingerprint, in the
+  *      map-side-combinable groupBy.agg form over a PROJECTED
+  *      (id, fingerprint) frame: the shuffles move ~48 bytes/row, never
+  *      the document text, a mega-duplicated page collapses in the
+  *      partial aggregate instead of materializing its whole group in
+  *      one window task, and the loser ids come back via joins that AQE
+  *      broadcasts/skew-splits (dup-group table shrinks to n>1 groups —
+  *      tiny in the common crawl-snapshot case).
   *   3. Near-dup dedup        — candidate pairs over the exact-dedup
   *      survivors only, then connected components (adaptive driver
   *      union-find / HashMin+pointer-jumping) and keep-one-per-cluster.
@@ -97,10 +99,22 @@ object Curate {
     val gophered = if (materialize) gophered0.localCheckpoint() else gophered0
     val gopherKept = gophered.filter(col("__keep"))
 
-    // stage 2: exact dedup — shuffle (id, 16-byte fingerprint) only
-    val exactLosers = gopherKept
-      .select(id, md5(text.cast("binary")).as("__fp"))
-      .withColumn("__keeper", min(id).over(Window.partitionBy("__fp")))
+    // stage 2: exact dedup — shuffle (id, 16-byte fingerprint) only, in
+    // the map-side-combinable form (round-5 verdict #1): a full-group
+    // window (min(id) over partitionBy(__fp)) must co-locate EVERY row
+    // of a duplicate group in one task before the min is known — a page
+    // duplicated 10^8 times at crawl scale is a multi-GB single-task
+    // sort. groupBy.agg collapses the mega-group map-side (partial_min/
+    // partial_count), the n>1 filter shrinks the group table to actual
+    // dup groups, and the join-back is a join AQE's skew handling CAN
+    // split (unlike a window partition). Same output, ties included:
+    // both forms label every row with id ≠ group-min as the loser.
+    val fps = gopherKept.select(id, md5(text.cast("binary")).as("__fp"))
+    val dupGroups = fps.groupBy("__fp")
+      .agg(min(id).as("__keeper"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("__fp", "__keeper")
+    val exactLosers = fps.join(dupGroups, "__fp")
       .filter(id =!= col("__keeper"))
       .select(id, lit(StageExactDup).as("stage"))
 

@@ -33,11 +33,29 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_dups"))
 
-  /** Rows that survive exact dedup (keep lowest id per identical text). */
+  /** Rows that survive exact dedup (keep lowest id per identical text).
+    *
+    * Map-side-combinable form (round-5 verdict #1): the earlier
+    * row_number window materialized every row of a duplicate group in
+    * ONE task before ranking — a straggler/OOM hazard on mega-duplicated
+    * boilerplate at crawl scale. Here the group table collapses map-side
+    * (partial min/count), only groups with actual duplicates (n > 1)
+    * survive the filter, and losers come back via an AQE-skew-splittable
+    * join. Tie nuance: rows whose id EQUALS the group minimum are all
+    * kept (the window form kept exactly one arbitrary row when the same
+    * id appeared twice with identical text — degenerate input; unique
+    * ids behave identically on both forms).
+    */
   def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val fps = df.select(col(idCol), md5(col(textCol).cast("binary")).as("__fp"))
+    val losers = fps
+      .join(fps.groupBy("__fp")
+        .agg(min(col(idCol)).as("__keeper"), count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .select("__fp", "__keeper"), "__fp")
+      .filter(col(idCol) =!= col("__keeper"))
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   // ------------------------------------------------------------------

@@ -158,6 +158,35 @@ class CurateSpec extends SparkTestBase {
       s"loser join should broadcast under AQE; plan:\n${finalPlan.take(4000)}")
   }
 
+  test("exact-dedup stage is map-side-combinable: mega-dup group, no window") {
+    // round-5 verdict #1: a page duplicated 10^5+ times must collapse in
+    // a partial aggregate on the fingerprint, never co-locate as one
+    // window partition. Plant one mega-duplicated text and assert (a)
+    // the labels, (b) the plan shape: a HashAggregate keyed on the
+    // fingerprint with partial_min, and NO Window node anywhere on the
+    // exact-dedup path (the only windows in the chain plan belong to the
+    // pair-generation caps, which never see the mega-group — exact
+    // losers are removed before pair generation).
+    val mega = spark.range(0, 100000).select(col("id").as("doc_id"),
+        lit(proseA).as("text"))
+      .unionByName(Seq((200000L, proseB), (200001L, proseB + " extra tail"))
+        .toDF("doc_id", "text"))
+    val log = Curate.curationLog(mega, "doc_id", "text")
+    val stages = log.groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages(Curate.StageExactDup) == 99999L)
+    assert(stages(Curate.StageNearDup) == 1L)
+    assert(stages(Curate.StageKept) == 2L) // doc 0 and doc 200000
+    val plan = log.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*HashAggregate\\(keys=\\[__fp[#\\d]*\\]" +
+      ".*partial_min.*"),
+      s"expected a partial aggregate on the fingerprint; plan:\n${plan.take(4000)}")
+    val windowsOnFp = plan.linesIterator
+      .filter(_.contains("Window")).filter(_.contains("__fp")).toSeq
+    assert(windowsOnFp.isEmpty,
+      s"exact-dedup path must not use a window over the fingerprint: $windowsOnFp")
+  }
+
   test("forced distributed components path labels identically") {
     // collectThreshold=0 forces the HashMin+jump loop inside the chain
     val viaLoop = Curate.curationLog(corpus, "doc_id", "text",
