@@ -129,7 +129,8 @@ object Curate {
         // quadratic in near-dup CLUSTER size, so this is the
         // sparse-duplication / oracle regime.
         Dedup.ngramJaccardPairs(exactKept, idCol, textCol,
-          n = shingleN, minJaccard = minJaccard, maxDf = maxDf)
+          n = shingleN, minJaccard = minJaccard, maxDf = maxDf,
+          materialize = materialize)
       case "minhash" =>
         // web-scale regime (what production crawl dedup runs): MinHash
         // band buckets propose candidates (bucket sizes capped and

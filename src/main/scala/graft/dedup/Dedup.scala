@@ -286,7 +286,8 @@ object Dedup {
   // ------------------------------------------------------------------
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 1, minJaccard: Double = 0.0,
-                        maxDf: Int = 10000): DataFrame = {
+                        maxDf: Int = 10000,
+                        materialize: Boolean = false): DataFrame = {
     // Generate barrier: `sh` is consumed by size() AND explode() (and on
     // the prefix path by the verify joins) — as a plain projection alias
     // CollapseProject would inline the whole shingle builder into every
@@ -294,9 +295,19 @@ object Dedup {
     // Pair paths run on HASHED shingles (64-bit digests — see
     // hashedShingles): `tok` join keys, sizes and intersections are
     // digest-equality, never shingle text.
-    val toks = graft.functions.ComputeOnce(
+    //
+    // materialize (execution-only knob, same contract as Curate's): the
+    // (id, digests) frame is referenced by the postings explode AND both
+    // verify joins — three tree-shaped evaluations of the upstream scan
+    // + shingling per query. When the digest frame fits executor storage
+    // one eager localCheckpoint replaces the re-evaluations; at true
+    // 100-TB scale leave false (recomputing a narrow scan beats writing
+    // a corpus-sized intermediate; blocks are freed by ContextCleaner
+    // when the frame is GC'd).
+    val toks0 = graft.functions.ComputeOnce(
       df.select(col(idCol).as("id"), col(textCol)),
       "sh", hashedShingles(col(textCol), n)).select("id", "sh")
+    val toks = if (materialize) toks0.localCheckpoint() else toks0
     if (minJaccard > 0.0) return prefixFilteredPairs(toks, minJaccard, maxDf)
     val sizes = toks.select(col("id"), size(col("sh")).as("sz"))
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
