@@ -43,6 +43,15 @@ object BenchExtra {
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_EXTRA", "chain")
 
+    if (mode.contains("gen")) { // materialize the scaling corpus for probes
+      val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "20000").toLong
+      val dir = s"/tmp/graft_scaling_corpus_$n"
+      if (!new java.io.File(s"$dir/_SUCCESS").exists())
+        graft.fixtures.SynthCorpus.docsRaw(spark, n, 64).toDF()
+          .write.mode("overwrite").parquet(dir)
+      println(s"[extra] corpus at $dir")
+    }
+
     if (mode.contains("chain")) {
       import graft.rules.Heuristics
       // stage 0: scan + gopher keep-bit

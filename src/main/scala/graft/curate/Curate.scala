@@ -138,7 +138,8 @@ object Curate {
         // each candidate exactly verified. Recall < 1 by construction:
         // a missed pair keeps an extra document (the safe direction).
         Dedup.minhashPairs(exactKept, idCol, textCol,
-          shingleN = shingleN, threshold = minJaccard)
+          shingleN = shingleN, threshold = minJaccard,
+          materialize = materialize)
       case other =>
         throw new IllegalArgumentException(
           s"unknown near-dup strategy '$other' (exact | minhash)")

@@ -134,16 +134,27 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                   threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+                   threshold: Double = 0.7, maxBucket: Int = 64,
+                   materialize: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     // Generate barriers: `sh` is consumed by the size filter AND the
     // signature aggregate (and by the verify joins below); `sig` by the
     // band exploder — without the barriers CollapseProject re-inlines a
     // full re-shingling / re-signing per reference per row (the q52
     // regression, round-5)
-    val toks = graft.functions.ComputeOnce(
+    // the whole path — signatures, band buckets, verification — runs on
+    // the 64-bit digest shingles (hashedShingles; round 6): lane hashing
+    // costs k × 8 bytes per shingle instead of k × |shingle-text| bytes,
+    // and the verify join was already digest-based. The LSH basis change
+    // keeps the strategy's contract (capped observable buckets, exact
+    // verification, recall < 1); digests never leave the query.
+    // materialize (execution-only knob, as in ngramJaccardPairs): the
+    // digest frame is referenced by the signature pass AND both verify
+    // joins — checkpoint once when the working set fits storage.
+    val toks0 = graft.functions.ComputeOnce(
       df.select(col(idCol).as("id"), col(textCol)),
-      "sh", shingles(col(textCol), shingleN)).select("id", "sh")
+      "sh", hashedShingles(col(textCol), shingleN)).select("id", "sh")
+    val toks = if (materialize) toks0.localCheckpoint() else toks0
     val withSig = graft.functions.ComputeOnce(
       toks.filter(size(col("sh")) > 0),
       "sig", minhashSignature(col("sh"), numHashes))
@@ -185,8 +196,7 @@ object Dedup {
     // is by construction recall<1, and a 64-bit in-pair hash collision
     // (P ≈ |A|·|B|/2⁶⁴ ≈ 1e-14 at 400-shingle docs) only nudges one
     // pair's estimate — the strategy's contract is unchanged.
-    val sets = toks.select(col("id").as("vid"),
-      transform(col("sh"), s => xxhash64(s)).as("vsh"),
+    val sets = toks.select(col("id").as("vid"), col("sh").as("vsh"),
       size(col("sh")).as("vsz"))
     pairs
       .join(sets.select(col("vid").as("id_a"), col("vsh").as("sh_a"),
@@ -194,10 +204,13 @@ object Dedup {
       .join(sets.select(col("vid").as("id_b"), col("vsh").as("sh_b"),
         col("vsz").as("sz_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      // filter on the ROUNDED value — the exact/prefix paths' boundary
+      // semantics (a pair at true J in [t−5e-7, t) rounds up to t and is
+      // kept there; the unrounded filter dropped it — round-5 ADVICE)
       .withColumn("jaccard",
-        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   // ------------------------------------------------------------------

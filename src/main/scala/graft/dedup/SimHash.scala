@@ -83,6 +83,14 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
 
+  // element type dispatch: array<string> shingles hash as UTF8String
+  // (the q21 bit-pinned surface); array<long> digest shingles (the
+  // hashedShingles pair-path representation) hash as longs — each lane
+  // is the exact xxhash64(i, element) chain for its element type, so
+  // the HOF parity form covers both (DedupSpec tests both).
+  @transient private lazy val elemType: DataType =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+
   @transient private lazy val seeds: Array[Long] =
     Array.tabulate(k)(i =>
       XxHash64Function.hash(i, org.apache.spark.sql.types.IntegerType, 42L))
@@ -93,12 +101,12 @@ case class MinHashSigExpr(child: Expression, k: Int)
     val n = arr.numElements()
     var j = 0
     while (j < n) {
-      val s: UTF8String = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
+      val s: Any = if (arr.isNullAt(j)) null else arr.get(j, elemType)
       var i = 0
       while (i < k) {
         val h =
           if (s == null) seeds(i) // xxhash64 skips null children
-          else XxHash64Function.hash(s, StringType, seeds(i))
+          else XxHash64Function.hash(s, elemType, seeds(i))
         if (h < out(i)) out(i) = h
         i += 1
       }

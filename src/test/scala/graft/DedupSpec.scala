@@ -207,10 +207,12 @@ class DedupSpec extends SparkTestBase {
           .mkString(" ")
       })
     }.toDF("doc_id", "text")
-    for (k <- Seq(1, 32)) {
+    for (k <- Seq(1, 32);
+         sh <- Seq(Dedup.shingles(col("text"), 3),        // array<string>
+           Dedup.hashedShingles(col("text"), 3))) {       // array<long>
       val rows = docs.select(
-        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), k).as("native"),
-        Dedup.minhashSignatureHof(Dedup.shingles(col("text"), 3), k).as("hof"))
+        Dedup.minhashSignature(sh, k).as("native"),
+        Dedup.minhashSignatureHof(sh, k).as("hof"))
         .collect()
       rows.foreach { r =>
         assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k diverged")
