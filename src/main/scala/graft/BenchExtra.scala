@@ -113,6 +113,21 @@ object BenchExtra {
       org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(gophered)
     }
 
+    if (mode.contains("matab")) { // interleaved A/B: chain materialize knob
+      val ts = Array.fill(2)(scala.collection.mutable.ArrayBuffer.empty[Double])
+      (1 to 5).foreach { _ =>
+        for (m <- Seq(true, false)) {
+          spark.sparkContext.setJobDescription(s"q52 materialize=$m")
+          val t0 = System.nanoTime()
+          graft.curate.Curate.curationLog(docs, "doc_id", "text",
+            materialize = m).count()
+          ts(if (m) 0 else 1) += (System.nanoTime() - t0) / 1e9
+        }
+      }
+      println(f"[extra] q52 materialize=true  min ${ts(0).min}%.3f  all ${ts(0).map(t => f"$t%.2f").mkString(",")}")
+      println(f"[extra] q52 materialize=false min ${ts(1).min}%.3f  all ${ts(1).map(t => f"$t%.2f").mkString(",")}")
+    }
+
     if (mode.contains("prefix")) {
       import graft.rules.Heuristics
       val gophered = graft.functions.ComputeOnce(docs, "__g",

@@ -394,11 +394,23 @@ object Dedup {
     val prefix = posts
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("sz") - ceil(lit(tP) * col("sz")) + lit(1))
-      .select("id", "sz", "tok")
+      .select("id", "sz", "tok", "rk")
+    // PPJoin POSITIONAL filter (Xiao et al. WWW'08, public literature),
+    // on top of the prefix + mutual-size filters: a match at positions
+    // (px, py) of the (df, tok) global order bounds the pair's overlap
+    // by (shared before the match) + 1 + min(|x|−px, |y|−py), and J ≥ t
+    // requires overlap ≥ t·(|x|+|y|)/(1+t). A true pair's FIRST shared
+    // prefix token has zero shared tokens before it, so its match-row
+    // always satisfies the bound — filtering match-rows and THEN
+    // distinct-ing pairs loses no true pair (DedupSpec prefix ≡ full).
+    // Multiplied through by (1+t) > 0 to stay in exact arithmetic.
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
           col("y.sz").cast("double") >= lit(tP) * col("x.sz") &&
-          col("x.sz").cast("double") >= lit(tP) * col("y.sz"))
+          col("x.sz").cast("double") >= lit(tP) * col("y.sz") &&
+          (lit(1.0) + least(col("x.sz") - col("x.rk"),
+            col("y.sz") - col("y.rk")).cast("double")) * lit(1.0 + tP) >=
+            lit(tP) * (col("x.sz") + col("y.sz")).cast("double"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
     cand

@@ -100,7 +100,7 @@ class DedupSpec extends SparkTestBase {
       (100L + i, bases(i)._2 + " " + vocab(rnd.nextInt(vocab.length)))
     }
     val df = (bases ++ nearDups).toDF("doc_id", "text")
-    for (n <- Seq(1, 3); t <- Seq(0.5, 0.8)) {
+    for (n <- Seq(1, 3); t <- Seq(0.5, 0.72, 0.8)) {
       def key(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
       val full = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = n)
