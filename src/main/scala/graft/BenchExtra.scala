@@ -163,13 +163,17 @@ object BenchExtra {
       def prefix = posts
         .withColumn("rk", row_number().over(wDoc))
         .filter(col("rk") <= col("sz") - ceil(lit(tP) * col("sz")) + lit(1))
-        .select("id", "sz", "tok")
+        .select("id", "sz", "tok", "rk")
       t("prefix (rk window) count")(prefix.count())
       val prefixCk = prefix.localCheckpoint()
+      // mirrors prefixFilteredPairs incl. the PPJoin positional filter
       def cand = prefixCk.as("x").join(prefixCk.as("y"),
           col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
             col("y.sz").cast("double") >= lit(tP) * col("x.sz") &&
-            col("x.sz").cast("double") >= lit(tP) * col("y.sz"))
+            col("x.sz").cast("double") >= lit(tP) * col("y.sz") &&
+            (lit(1.0) + least(col("x.sz") - col("x.rk"),
+              col("y.sz") - col("y.rk")).cast("double")) * lit(1.0 + tP) >=
+              lit(tP) * (col("x.sz") + col("y.sz")).cast("double"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
         .distinct()
       t("cand join+distinct count (ckpt prefix)")(cand.count())

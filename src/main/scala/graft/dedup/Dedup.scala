@@ -41,21 +41,31 @@ object Dedup {
     * boilerplate at crawl scale. Here the group table collapses map-side
     * (partial min/count), only groups with actual duplicates (n > 1)
     * survive the filter, and losers come back via an AQE-skew-splittable
-    * join. Tie nuance: rows whose id EQUALS the group minimum are all
-    * kept (the window form kept exactly one arbitrary row when the same
-    * id appeared twice with identical text — degenerate input; unique
-    * ids behave identically on both forms).
+    * join keyed on (id, fingerprint) — so a duplicate id carrying
+    * DIFFERENT text is never collaterally dropped. Null text groups
+    * under a sentinel fingerprint (md5 of null is null, and null keys
+    * never equi-join — the window form's partitionBy grouped the null
+    * partition, so the sentinel preserves keep-one-null semantics; no
+    * collision: real digests are exactly 32 hex chars). Tie nuance:
+    * rows whose id EQUALS the group minimum are all kept (the window
+    * form kept exactly one arbitrary row when the same id appeared
+    * twice with identical text — degenerate input; unique ids behave
+    * identically on both forms).
     */
   def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fps = df.select(col(idCol), md5(col(textCol).cast("binary")).as("__fp"))
+    val fp = when(col(textCol).isNull, lit("__graft_null_text__"))
+      .otherwise(md5(col(textCol).cast("binary")))
+    val withFp = df.withColumn("__graft_es_fp", fp)
+    val fps = withFp.select(col(idCol), col("__graft_es_fp"))
     val losers = fps
-      .join(fps.groupBy("__fp")
+      .join(fps.groupBy("__graft_es_fp")
         .agg(min(col(idCol)).as("__keeper"), count(lit(1)).as("__n"))
         .filter(col("__n") > 1)
-        .select("__fp", "__keeper"), "__fp")
+        .select("__graft_es_fp", "__keeper"), "__graft_es_fp")
       .filter(col(idCol) =!= col("__keeper"))
-      .select(col(idCol))
-    df.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("__graft_es_fp"))
+    withFp.join(losers, Seq(idCol, "__graft_es_fp"), "left_anti")
+      .drop("__graft_es_fp")
   }
 
   // ------------------------------------------------------------------

@@ -25,6 +25,19 @@ class DedupSpec extends SparkTestBase {
     assert(survivors.count() == 4) // 2 collapses into 1
   }
 
+  test("exactSurvivors: null-text rows group; dup ids with different text kept") {
+    // the groupBy+join form's two edge contracts (round-6 self-review):
+    // null text groups under the sentinel fingerprint (null md5 keys
+    // never equi-join), and the loser anti-join keys on (id, fp) so a
+    // duplicate id carrying DIFFERENT text is not collaterally dropped
+    val edge = Seq((1L, null.asInstanceOf[String]),
+      (2L, null.asInstanceOf[String]), (3L, "a"), (4L, "a"), (4L, "b"))
+      .toDF("doc_id", "text")
+    val surv = Dedup.exactSurvivors(edge, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(surv == Set((1L, None), (3L, Some("a")), (4L, Some("b"))))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashPairs(df, "doc_id", "text",
       shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
