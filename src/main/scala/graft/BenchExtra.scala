@@ -196,6 +196,121 @@ object BenchExtra {
       }
     }
 
+    if (mode.contains("pfxdf")) {
+      // A/B: document-frequency attachment for the PREFIX pair path —
+      // count window over partitionBy(tok) (materializes each token's
+      // full postings group in ONE task before the df<=maxDf filter can
+      // drop it) vs map-side-combinable groupBy(tok).count + join-back
+      // (the same fix family as the round's exact-dedup conversion; the
+      // full-join path's window rides the self-join's tok partitioning
+      // and stays). Interleaved min-of-N on the q52-shaped corpus plus a
+      // planted mega-df token flood.
+      import graft.rules.Heuristics
+      val gophered = graft.functions.ComputeOnce(docs, "__g",
+        Heuristics.gopherStats(col("text")))
+        .withColumn("__keep", coalesce(col("__g.gopher_keep"), lit(false)))
+        .drop("__g").localCheckpoint()
+      val exactKept = {
+        val id = col("doc_id"); val text = col("text")
+        val gopherKept = gophered.filter(col("__keep"))
+        val fps = gopherKept.select(id, md5(text.cast("binary")).as("__fp"))
+        val losers = fps.join(fps.groupBy("__fp")
+            .agg(min(id).as("__keeper"), count(lit(1)).as("__n"))
+            .filter(col("__n") > 1).select("__fp", "__keeper"), "__fp")
+          .filter(id =!= col("__keeper")).select(id)
+        gopherKept.select(id, text)
+          .join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+      }
+      val toks = graft.functions.ComputeOnce(
+        exactKept.select(col("doc_id").as("id"), col("text")),
+        "sh", graft.dedup.Dedup.hashedShingles(col("text"), 3))
+        .select("id", "sh").localCheckpoint()
+      val tP = 0.8 - 1e-6
+      val wTok = Window.partitionBy("tok")
+      val wDoc = Window.partitionBy("id").orderBy("df", "tok")
+      def posts0 = toks.select(col("id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("tok"))
+      def postsWin = posts0
+        .withColumn("df", count(lit(1)).over(wTok))
+        .filter(col("df") <= 10000)
+      def postsGrp = posts0
+        .join(posts0.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
+        .filter(col("df") <= 10000)
+      def prefixOf(posts: => DataFrame) = posts
+        .withColumn("rk", row_number().over(wDoc))
+        .filter(col("rk") <= col("sz") - ceil(lit(tP) * col("sz")) + lit(1))
+        .select("id", "sz", "tok", "rk")
+      def candOf(posts: => DataFrame): DataFrame = {
+        val prefix = prefixOf(posts)
+        prefix.as("x").join(prefix.as("y"),
+            col("x.tok") === col("y.tok") && col("x.id") < col("y.id") &&
+              col("y.sz").cast("double") >= lit(tP) * col("x.sz") &&
+              col("x.sz").cast("double") >= lit(tP) * col("y.sz") &&
+              (lit(1.0) + least(col("x.sz") - col("x.rk"),
+                col("y.sz") - col("y.rk")).cast("double")) * lit(1.0 + tP) >=
+                lit(tP) * (col("x.sz") + col("y.sz")).cast("double"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .distinct()
+      }
+      // parity first: identical candidate sets
+      val nWin = candOf(postsWin).count(); val nGrp = candOf(postsGrp).count()
+      println(s"[extra] cand parity: window=$nWin groupBy=$nGrp " +
+        (if (nWin == nGrp) "OK" else "MISMATCH"))
+      val ts = Array.fill(2)(scala.collection.mutable.ArrayBuffer.empty[Double])
+      (1 to 4).foreach { _ =>
+        spark.sparkContext.setJobDescription("pfxdf: window form")
+        var t0 = System.nanoTime(); candOf(postsWin).count()
+        ts(0) += (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.setJobDescription("pfxdf: groupBy form")
+        t0 = System.nanoTime(); candOf(postsGrp).count()
+        ts(1) += (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[extra] pfxdf window  min ${ts(0).min}%.3f  all ${ts(0).map(x => f"$x%.2f").mkString(",")}")
+      println(f"[extra] pfxdf groupBy min ${ts(1).min}%.3f  all ${ts(1).map(x => f"$x%.2f").mkString(",")}")
+
+      // variant: pre-filter the df table to df<=maxDf BEFORE the join —
+      // the capped token never attaches (inner-join drop), and the agg
+      // side is column-pruned to tok only
+      def postsGrp2 = posts0.join(
+        toks.select(explode(col("sh")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 10000), "tok")
+      val nGrp2 = candOf(postsGrp2).count()
+      println(s"[extra] cand parity v2: window=$nWin groupByPrefilter=$nGrp2 " +
+        (if (nWin == nGrp2) "OK" else "MISMATCH"))
+      val t2 = scala.collection.mutable.ArrayBuffer.empty[Double]
+      (1 to 4).foreach { _ =>
+        spark.sparkContext.setJobDescription("pfxdf: groupBy prefiltered form")
+        val t0 = System.nanoTime(); candOf(postsGrp2).count()
+        t2 += (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[extra] pfxdf groupByPre min ${t2.min}%.3f  all ${t2.map(x => f"$x%.2f").mkString(",")}")
+
+      // skew plant: one token flooded across every doc (df ≈ |docs|) —
+      // the window must co-locate the whole flood in one task to count
+      // it; the groupBy collapses it map-side. Both drop it via the cap.
+      val flood = toks.withColumn("sh",
+        concat(col("sh"), array(lit(0x5eedL)))).localCheckpoint()
+      def fposts0 = flood.select(col("id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("tok"))
+      def fWin = fposts0.withColumn("df", count(lit(1)).over(wTok))
+        .filter(col("df") <= 1000)
+      def fGrp = fposts0
+        .join(fposts0.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
+        .filter(col("df") <= 1000)
+      val tf = Array.fill(2)(scala.collection.mutable.ArrayBuffer.empty[Double])
+      (1 to 3).foreach { _ =>
+        spark.sparkContext.setJobDescription("pfxdf flood: window form")
+        var t0 = System.nanoTime(); candOf(fWin).count()
+        tf(0) += (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.setJobDescription("pfxdf flood: groupBy form")
+        t0 = System.nanoTime(); candOf(fGrp).count()
+        tf(1) += (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[extra] pfxdf FLOOD window  min ${tf(0).min}%.3f  all ${tf(0).map(x => f"$x%.2f").mkString(",")}")
+      println(f"[extra] pfxdf FLOOD groupBy min ${tf(1).min}%.3f  all ${tf(1).map(x => f"$x%.2f").mkString(",")}")
+    }
+
     if (mode.contains("sim")) {
       def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       emb.count()

@@ -387,20 +387,39 @@ object Dedup {
     * over the FULL sets — when the cap fires this path can only lose
     * whole pairs (reported via the same observe metric), never report
     * an underestimated similarity like the full path's lower bound.
+    *
+    * Document frequency comes from a map-side-combinable
+    * `groupBy(tok).count` + join-back, NOT a count window over
+    * `partitionBy(tok)`: unlike the FULL path's df window (which rides
+    * the pairing self-join's tok partitioning), the prefix path's next
+    * shuffle is by `id`, so a window here would co-locate a token's
+    * ENTIRE postings list in one task purely to count it — a stopword
+    * shingle at crawl scale is a multi-GB single-task sort BEFORE the
+    * df ≤ maxDf filter can drop it (the same skew family as the chain's
+    * exact-dedup conversion). The partial aggregate collapses the mega
+    * token map-side, the df table is pre-filtered to surviving tokens,
+    * and a capped token's postings simply never match the inner join —
+    * AQE can skew-split the probe side, which it cannot do for a window
+    * partition. Cap metrics are value-identical to the window form's
+    * (dropped postings = Σ df over capped tokens); measured at sf0.1
+    * the join form also times at-or-under the window form (no local
+    * regression — BenchExtra `pfxdf` A/B).
     */
   private def prefixFilteredPairs(toks: DataFrame, minJaccard: Double,
                                   maxDf: Int): DataFrame = {
     val tP = math.max(minJaccard - 1e-6, 1e-9)
-    val wTok = org.apache.spark.sql.expressions.Window.partitionBy("tok")
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("df", "tok")
-    val posts = toks
-      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
-      .withColumn("df", count(lit(1)).over(wTok))
+    val dfTab = toks.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
       .observe("ngram_df_cap",
-        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
+        sum(when(col("df") > maxDf, col("df")).otherwise(lit(0L)))
+          .as("dropped_postings"),
         max(col("df")).as("max_df"))
       .filter(col("df") <= maxDf)
+    val posts = toks
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("tok"))
+      .join(dfTab, "tok")
     val prefix = posts
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("sz") - ceil(lit(tP) * col("sz")) + lit(1))

@@ -125,6 +125,37 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("prefix path df cap: map-side aggregate, no tok window, same metrics") {
+    // round-6: the prefix path computes df via groupBy(tok).count +
+    // join-back, not a count window over partitionBy(tok) — a planted
+    // stopword flood must (a) be dropped from the index with the cap
+    // metrics the window form reported (dropped postings = Σ df over
+    // capped tokens), (b) leave candidates intact (docs 0/1 pair via
+    // low-df "pairme"; verification is exact over FULL sets, so "the"
+    // still counts toward the intersection), and (c) produce a plan with
+    // a partial aggregate keyed on tok and NO window partitioned by tok
+    // (the only window is the per-doc prefix rank, partitioned by id).
+    val flood = spark.range(0, 30).select(col("id").as("doc_id"),
+      concat(lit("the unique"), col("id"), lit(" token"), col("id"),
+        when(col("id") < 2, lit(" pairme")).otherwise(lit(""))).as("text"))
+    val pairs = Dedup.ngramJaccardPairs(flood, "doc_id", "text", n = 1,
+      minJaccard = 0.2, maxDf = 5)
+    val got = pairs.collect().map(r =>
+      ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    // {the,unique0,token0,pairme} ∩ {the,unique1,token1,pairme} = 2, ∪ = 6
+    assert(got.keySet == Set((0L, 1L)), s"only the pairme pair: $got")
+    assert(got((0L, 1L)) == math.rint(2.0 / 6.0 * 1e6) / 1e6)
+    val metrics = pairs.queryExecution.observedMetrics("ngram_df_cap")
+    assert(metrics.getAs[Long]("dropped_postings") == 30L)
+    assert(metrics.getAs[Long]("max_df") == 30L)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*HashAggregate\\(keys=\\[tok[#\\d]*L?\\]" +
+      ".*partial_count.*"),
+      s"expected a partial aggregate keyed on tok; plan:\n${plan.take(4000)}")
+    assert(!plan.contains("windowspecdefinition(tok"),
+      s"df must not come from a window partitioned by tok:\n${plan.take(4000)}")
+  }
+
   test("rolling fingerprint: Column and String mirrors agree") {
     val inputs = Seq("hello world", "", "a", base, "café π∂")
     val got = inputs.toDF("t")
