@@ -404,6 +404,15 @@ object Dedup {
     * (dropped postings = Σ df over capped tokens); measured at sf0.1
     * the join form also times at-or-under the window form (no local
     * regression — BenchExtra `pfxdf` A/B).
+    *
+    * Cost of the trade: the df aggregate is one more reference to
+    * `toks` (a tok-only column-pruned explode + partial agg), so with
+    * `materialize = false` the shingle scan runs once more than the
+    * window form did — the standard build-the-filter-scan-twice price
+    * (guide §3.2); with `materialize = true` it reads checkpoint
+    * blocks. What the shuffle SAVES at scale: the partial aggregate
+    * ships per-partition (tok, count) rows instead of every posting,
+    * and no task ever holds a full postings list just to count it.
     */
   private def prefixFilteredPairs(toks: DataFrame, minJaccard: Double,
                                   maxDf: Int): DataFrame = {
