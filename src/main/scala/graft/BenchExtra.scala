@@ -150,7 +150,11 @@ object BenchExtra {
         "sh", graft.dedup.Dedup.shingles(col("text"), 3)).select("id", "sh")
       t("toks (shingles) count over ckpt exactKept")(toksPlain.count())
       val toks = toksPlain.localCheckpoint()
-      t("toks ckpt job") { toksPlain.localCheckpoint().count() }
+      t("toks ckpt job") { // release the throwaway checkpoint each pass
+        val ck = toksPlain.localCheckpoint()
+        ck.count()
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint(ck)
+      }
 
       val tP = 0.8 - 1e-6
       val wTok = Window.partitionBy("tok")
@@ -194,6 +198,8 @@ object BenchExtra {
         graft.dedup.Dedup.ngramJaccardPairs(exactKept, "doc_id", "text",
           n = 3, minJaccard = 0.8, maxDf = 10000).count()
       }
+      Seq(candCk, prefixCk, toks, exactKept, gophered).foreach(
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
     }
 
     if (mode.contains("pfxdf")) {
@@ -309,6 +315,8 @@ object BenchExtra {
       }
       println(f"[extra] pfxdf FLOOD window  min ${tf(0).min}%.3f  all ${tf(0).map(x => f"$x%.2f").mkString(",")}")
       println(f"[extra] pfxdf FLOOD groupBy min ${tf(1).min}%.3f  all ${tf(1).map(x => f"$x%.2f").mkString(",")}")
+      Seq(flood, toks, exactKept, gophered).foreach(
+        org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
     }
 
     if (mode.contains("sim")) {

@@ -109,7 +109,15 @@ object Curate {
     // dup groups, and the join-back is a join AQE's skew handling CAN
     // split (unlike a window partition). Same output, ties included:
     // both forms label every row with id ≠ group-min as the loser.
-    val fps = gopherKept.select(id, md5(text.cast("binary")).as("__fp"))
+    // null-text sentinel (defense in depth, mirrors Dedup.exactSurvivors):
+    // md5(null) is null and null keys never equi-join, so without it a
+    // null-text row could never be labeled exact_dup. Unreachable TODAY —
+    // stage 1 drops null text (gopher signals are null ⇒ keep=false) —
+    // but stage 2 must not silently depend on stage 1's ordering for
+    // correctness. Real digests are 32 hex chars; no collision.
+    val fps = gopherKept.select(id,
+      when(text.isNull, lit("__graft_null_text__"))
+        .otherwise(md5(text.cast("binary"))).as("__fp"))
     val dupGroups = fps.groupBy("__fp")
       .agg(min(id).as("__keeper"), count(lit(1)).as("__n"))
       .filter(col("__n") > 1)

@@ -337,7 +337,8 @@ object Dedup {
     val postings = toks.select(col("id"), explode(col("sh")).as("tok"))
       .withColumn("df", count(lit(1)).over(wTok))
       .observe("ngram_df_cap",
-        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
+        coalesce(sum(when(col("df") > maxDf, 1L).otherwise(0L)), lit(0L))
+          .as("dropped_postings"),
         max(col("df")).as("max_df"))
       .filter(col("df") <= maxDf)
       .drop("df")
@@ -421,9 +422,12 @@ object Dedup {
       .partitionBy("id").orderBy("df", "tok")
     val dfTab = toks.select(explode(col("sh")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
+      // coalesce: sum over a zero-token corpus is null, and a metrics
+      // consumer unboxing getAs[Long] would NPE — 0 is the honest value
+      // (max_df stays null there: no tokens, no maximum)
       .observe("ngram_df_cap",
-        sum(when(col("df") > maxDf, col("df")).otherwise(lit(0L)))
-          .as("dropped_postings"),
+        coalesce(sum(when(col("df") > maxDf, col("df")).otherwise(lit(0L))),
+          lit(0L)).as("dropped_postings"),
         max(col("df")).as("max_df"))
       .filter(col("df") <= maxDf)
     val posts = toks
