@@ -319,6 +319,55 @@ object BenchExtra {
         org.apache.spark.sql.GraftColumnBridge.unpersistCheckpoint)
     }
 
+    if (mode.contains("plancost")) {
+      // Decompose a bench pass for the builder/dist queries into
+      // (construct+analyze, optimize+physical-plan, execute): the
+      // round-3 adjudication says their bench seconds are per-query
+      // plan/optimize/codegen of large fused expression trees, not
+      // execution — re-verify it on current code instead of carrying it.
+      val names = Seq("q30_training_examples", "q31_benchmark_items",
+        "q36_benchmark_v2", "q37_benchmark_v3", "q39_training_dist",
+        "q44_rl_training_v3", "q46_ug_training")
+      names.foreach { name =>
+        def pass(): (Double, Double, Double) = {
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan // optimize + physical planning
+          val t2 = System.nanoTime()
+          df.count()
+          val t3 = System.nanoTime()
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+        }
+        val ps = Seq(pass(), pass(), pass())
+        val a = ps.map(_._1).min; val b = ps.map(_._2).min
+        val c = ps.map(_._3).min
+        // same-INSTANCE recount with a task-time listener: splits the
+        // repeated floor into executor task time (per-task init / row
+        // work) vs driver time (fresh count() QueryExecution: analyze/
+        // optimize/codegen-source-gen of the fused tree per action)
+        val df2 = SparkEntry.queries(name)(spark, sfDir)
+        df2.count()
+        val taskNs = new java.util.concurrent.atomic.AtomicLong(0)
+        val nTasks = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            taskNs.addAndGet(e.taskInfo.duration * 1000000L)
+            nTasks.incrementAndGet()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime(); df2.count()
+        val recount = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(200) // let the listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"[extra] $name%-24s construct $a%5.2f  plan $b%5.2f  " +
+          f"exec(count) $c%5.2f s  execs ${ps.map(p => f"${p._3}%.2f").mkString(",")}" +
+          f"  same-df recount $recount%5.2f (task-sum ${taskNs.get / 1e9}%5.2f s over ${nTasks.get} tasks)")
+      }
+    }
+
     if (mode.contains("sim")) {
       def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       emb.count()
