@@ -88,13 +88,18 @@ object RlExample {
   private val wsSplit = Pattern.compile("(?U)\\s+")
 
   def isMeaningfulStep(step: String): Boolean = {
+    // short-circuit order (round-6 non-ASCII profile): pure predicate,
+    // identical truth value to evaluating all four terms — but a step
+    // with no meaningful indicator AND no math char (the common case on
+    // non-English sentences) skips the avoid-term scans and the regex
+    // word split entirely
     val lo = sparkLower(step)
-    val hasMeaningful = Extract.MeaningfulIndicators.exists(lo.contains)
-    val hasMath = MathChars.exists(step.contains)
-    val hasAvoid = Extract.AvoidTerms.exists(lo.contains)
+    if (!(Extract.MeaningfulIndicators.exists(lo.contains) ||
+        MathChars.exists(step.contains))) return false
+    if (Extract.AvoidTerms.exists(lo.contains)) return false
     var wc = 0
     wsSplit.split(spaceTrim(step), -1).foreach(w => if (w.nonEmpty) wc += 1)
-    (hasMeaningful || hasMath) && !hasAvoid && wc >= 4
+    wc >= 4
   }
 
   // ---- C9: clean + validate (Gates.cleanAndValidate) ---------------
@@ -144,11 +149,17 @@ object RlExample {
     val chosen: ArrayBuffer[String] =
       if (primary.nonEmpty) primary
       else {
+        // necessary-literal guard (round-6 non-ASCII profile): eqStepP
+        // is ([^.]*=\s*[^.]*\.) — a match REQUIRES a literal '=' and a
+        // '.', so on a doc without them (most non-English sentences)
+        // the whole-text regex scan is provably fruitless and skipped;
+        // output identical by construction
         val eq = ArrayBuffer.empty[String]
-        groupHits(eqStepP, c, 1).foreach { m0 =>
-          val s = spaceTrim(m0)
-          if (nchars(s) > 10 && s.contains("=")) eq += s
-        }
+        if (c != null && c.indexOf('=') >= 0 && c.indexOf('.') >= 0)
+          groupHits(eqStepP, c, 1).foreach { m0 =>
+            val s = spaceTrim(m0)
+            if (nchars(s) > 10 && s.contains("=")) eq += s
+          }
         if (eq.nonEmpty) eq
         else {
           val sent = ArrayBuffer.empty[String]
@@ -167,14 +178,34 @@ object RlExample {
   private val answerPs = Extract.AnswerPatterns.map(Pattern.compile)
   private val dotSplit = Pattern.compile("\\.")
 
+  // necessary literals per Extract.AnswerPatterns (ASCII fold matches
+  // the patterns' bare `(?i)`): pattern 0 needs one of the cue words,
+  // pattern 1 needs `=\s*[0-9]` — both '=' and a digit
+  private[graft] val AnswerAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("answer", "result", "therefore", "thus", "hence", "finally")),
+    Array(Array("="), Array("0", "1", "2", "3", "4", "5", "6", "7", "8", "9")))
+
   def finalAnswer(c: String): String = {
+    // anchor guards (round-6 non-ASCII profile): each pattern's regex
+    // scan runs only when its necessary literals are present — output
+    // identical by construction (a guarded-out pattern cannot match)
+    val fold = AnchorGuard.asciiLower(c)
+    var pi = 0
     answerPs.foreach { p =>
-      val ms = groupHits(p, c, 1).map(spaceTrim).filter(nchars(_) > 3)
-      if (ms.nonEmpty) return ms.last
+      if (AnchorGuard.anchored(fold, AnswerAnchors(pi))) {
+        val ms = groupHits(p, c, 1).map(spaceTrim).filter(nchars(_) > 3)
+        if (ms.nonEmpty) return ms.last
+      }
+      pi += 1
     }
-    val eq = dotSplit.split(if (c == null) "" else c, -1).map(spaceTrim)
-      .filter(s => s.contains("=") && nchars(s) > 8)
-    if (eq.nonEmpty) eq.last else "Result derived as shown above"
+    // the eq fallback keeps only sentences containing '=' — with no '='
+    // in the doc the split+filter is provably empty, skip it
+    if (c != null && c.indexOf('=') >= 0) {
+      val eq = dotSplit.split(c, -1).map(spaceTrim)
+        .filter(s => s.contains("=") && nchars(s) > 8)
+      if (eq.nonEmpty) return eq.last
+    }
+    "Result derived as shown above"
   }
 
   // ---- E22: quality (Extract.assessQuality) ------------------------
@@ -207,7 +238,13 @@ object RlExample {
   private val mathFragP = Pattern.compile("([^.]*(?:=|→|⇒)[^.]*)")
 
   def parseDerivationSteps(stepsText: String, result: String): Array[String] = {
-    val mathRaw = groupHits(mathFragP, stepsText, 1)
+    // necessary-literal guard: mathFragP requires one of '=' '→' '⇒' —
+    // skip the whole-text scan when none is present (output identical)
+    val mathRaw =
+      if (stepsText != null && (stepsText.indexOf('=') >= 0 ||
+        stepsText.indexOf('→') >= 0 || stepsText.indexOf('⇒') >= 0))
+        groupHits(mathFragP, stepsText, 1)
+      else Array.empty[String]
     if (mathRaw.nonEmpty) {
       val mathValid = ArrayBuffer.empty[String]
       mathRaw.foreach { m0 =>
