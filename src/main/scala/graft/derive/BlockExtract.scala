@@ -40,16 +40,75 @@ object BlockExtract {
     (phys >= 1 || vix >= 2) && en >= 2
   }
 
-  private def battery(text: String, ps: Seq[java.util.regex.Pattern],
+  // necessary literals per pattern (round-6: the same AnchorGuard
+  // discipline StepExtract/UgExample use — each (?si) pattern's prefix/
+  // mid/suffix alternations are REQUIRED literal sets; if any group is
+  // absent from the ascii-folded doc the whole-text dotall scan cannot
+  // match and is skipped, output identical by construction). Groups
+  // that can be empty-matched (\z, \n\n, punctuation) are NOT anchors.
+  private[graft] val DerivAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("to derive", "to show", "to prove", "we derive",
+      "we show", "we calculate", "we find"),
+      Array("therefore", "thus", "hence", "we obtain", "this gives",
+        "q.e.d.")),
+    Array(Array("starting with", "beginning with", "we start with",
+      "from", "given"),
+      Array("therefore", "thus", "hence", "we obtain", "this gives",
+        "we get", "we find")),
+    Array(Array("step", "first", "initially", "next", "then"),
+      Array("finally", "in conclusion", "therefore", "we obtain",
+        "we get")),
+    Array(Array("let us", "consider", "suppose", "assume"),
+      Array("differential", "equation", "formula", "energy", "force",
+        "field"),
+      Array("solution", "result", "answer", "we obtain", "we get")),
+    Array(Array("using", "applying", "from", "by"),
+      Array("equation", "formula", "law", "principle"),
+      Array("we get", "we obtain", "we find", "this gives", "therefore")),
+    Array(Array("substituting", "replacing", "setting", "with"),
+      Array("=", "equals"),
+      Array("we get", "we obtain", "we find", "this gives")))
+
+  private[graft] val SolAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("problem", "example", "exercise"),
+      Array("solution", "answer")),
+    Array(Array("given", "known"),
+      Array("find", "calculate", "determine"),
+      Array("solution", "answer")),
+    Array(Array("let us solve", "to solve", "solving", "we solve"),
+      Array("the result is", "we find", "the answer is", "we get",
+        "we obtain")),
+    Array(Array("calculate", "computing", "finding", "determining"),
+      Array("=", "equals", "gives", "yields")),
+    Array(Array("using", "with", "from"),
+      Array("equation", "formula", "relation"),
+      Array("we get", "we obtain", "we find", "this gives", "therefore")))
+
+  private[graft] val ProofAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("proof", "demonstration"),
+      Array("q.e.d.", "this completes", "end of proof")),
+    Array(Array("we prove", "to prove"),
+      Array("therefore", "hence", "thus")),
+    Array(Array("by", "using", "from"),
+      Array("equation", "formula"),
+      Array("we get", "we obtain", "it follows")))
+
+  private def battery(text: String, fold: String,
+                      ps: Seq[java.util.regex.Pattern],
+                      anchors: Array[Array[Array[String]]],
                       minLen: Int, maxLen: Int, cap: Int): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pi = 0
     ps.foreach { p =>
-      val m = p.matcher(text)
-      while (m.find()) {
-        val s = m.group(0)
-        if (s.length > minLen && s.length < maxLen && containsEnglishPhysicsTerms(s))
-          out += s
+      if (AnchorGuard.anchored(fold, anchors(pi))) {
+        val m = p.matcher(text)
+        while (m.find()) {
+          val s = m.group(0)
+          if (s.length > minLen && s.length < maxLen && containsEnglishPhysicsTerms(s))
+            out += s
+        }
       }
+      pi += 1
     }
     out.take(cap).toArray
   }
@@ -60,9 +119,10 @@ object BlockExtract {
   def compute(text: String): (Array[String], Array[String], Array[String]) = {
     if (text == null || text.isEmpty)
       return (Array.empty, Array.empty, Array.empty)
-    (battery(text, derivPs, 100, 2500, 7),
-      battery(text, solPs, 80, 1800, 7),
-      battery(text, proofPs, 100, 1200, 3))
+    val fold = AnchorGuard.asciiLower(text)
+    (battery(text, fold, derivPs, DerivAnchors, 100, 2500, 7),
+      battery(text, fold, solPs, SolAnchors, 80, 1800, 7),
+      battery(text, fold, proofPs, ProofAnchors, 100, 1200, 3))
   }
 
   def computeRow(u: UTF8String): InternalRow = {

@@ -41,6 +41,30 @@ object ConceptExtract {
     out.toArray
   }
 
+  /** findAll with per-pattern necessary-literal guards (round-6: the
+    * AnchorGuard discipline — a pattern whose required literal set is
+    * absent from the ascii-folded text cannot match, so its whole-text
+    * scan is skipped; output identical by construction).
+    */
+  private def findAllGuarded(ps: Seq[Pattern],
+                             anchors: Array[Array[Array[String]]],
+                             fold: String, text: String, group: Int = 1)
+                            (keep: String => Option[String]): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pi = 0
+    ps.foreach { p =>
+      if (AnchorGuard.anchored(fold, anchors(pi))) {
+        val m = p.matcher(text)
+        while (m.find()) keep(m.group(group)).foreach(out += _)
+      }
+      pi += 1
+    }
+    out.toArray
+  }
+
+  private val Digits: Array[String] =
+    Array("0", "1", "2", "3", "4", "5", "6", "7", "8", "9")
+
   private def arr(a: Array[String]) =
     new GenericArrayData(a.map(x => UTF8String.fromString(x).asInstanceOf[Any]))
 
@@ -73,6 +97,37 @@ object ConceptExtract {
   private val v2PrinPs = V2PrinciplePatterns.map(Pattern.compile)
   private val digitP = Pattern.compile("\\d")
 
+  // necessary literals per pattern, verified against the regex sources
+  // in BenchmarkBuilders (ascii fold matches the patterns' bare `(?i)`;
+  // ∇/∂/\frac{ pass through the fold unchanged)
+  private[graft] val V2EqAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("=")), Array(Array("\\frac{")), Array(Array("=")),
+    Array(Array("∇")), Array(Array("∂")))
+  private[graft] val V2DerivAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("starting with", "beginning with", "from", "given"),
+      Array("equation", "formula", "relation")),
+    Array(Array("substituting", "using", "applying"),
+      Array("=", "into", "yield")),
+    Array(Array("therefore", "thus", "hence"), Array("=")))
+  private[graft] val V2ScenAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("consider", "suppose", "let", "assume"),
+      Array("particle", "system", "field", "wave", "oscillator",
+        "potential")),
+    Array(Array("in this", "our", "the"),
+      Array("experiment", "setup", "system", "model", "approach")),
+    Array(Array("we study", "we consider", "we analyze")))
+  private[graft] val V2NumAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("="), Digits),
+    Array(Array("wavelength", "frequency", "energy", "mass", "velocity",
+      "temperature", "pressure"), Digits))
+  private[graft] val V2PrinAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("conservation of")),
+    Array(Array("newton"), Array("law")),
+    Array(Array("maxwell"), Array("equation")),
+    Array(Array("dinger equation")),
+    Array(Array("uncertainty principle")),
+    Array(Array("thermodynamic"), Array("law")))
+
   private def physicsContentV2(s: String): Boolean =
     containsAnyLower(sparkLower(s), V2PhysicsTerms) ||
       V2MathChars.exists(s.contains)
@@ -84,25 +139,27 @@ object ConceptExtract {
   def computeV2(text: String): InternalRow = {
     if (text == null)
       return new GenericInternalRow(Array.fill[Any](5)(arr(Array.empty)))
-    val eqs = findAll(v2EqPs, text) { m =>
+    val fold = AnchorGuard.asciiLower(text)
+    val eqs = findAllGuarded(v2EqPs, V2EqAnchors, fold, text) { m =>
       val c = cleanEq(WhitelistV2, m)
       if (c.nonEmpty && meaningfulEquation(c)) Some(c) else None
     }
-    val derivs = findAll(v2DerivPs, text) { m =>
+    val derivs = findAllGuarded(v2DerivPs, V2DerivAnchors, fold, text) { m =>
       val t = spaceTrim(m)
       if (t.length > 20 && physicsContentV2(t)) Some(t) else None
     }
-    val scens = findAll(v2ScenPs, text) { m =>
+    val scens = findAllGuarded(v2ScenPs, V2ScenAnchors, fold, text) { m =>
       val t = spaceTrim(m)
       if (t.length > 30 && physicsContentV2(t)) Some(t) else None
     }
-    val nums = findAll(v2NumPs, text) { m =>
+    val nums = findAllGuarded(v2NumPs, V2NumAnchors, fold, text) { m =>
       val t = spaceTrim(m)
       if (digitP.matcher(t).find() &&
         containsAnyLower(sparkLower(t), V2NumContexts) && t.length > 5)
         Some(t) else None
     }
-    val prins = findAll(v2PrinPs, text)(m => Some(spaceTrim(m)))
+    val prins = findAllGuarded(v2PrinPs, V2PrinAnchors, fold, text)(
+      m => Some(spaceTrim(m)))
     new GenericInternalRow(Array[Any](
       arr(eqs), arr(derivs), arr(scens), arr(nums), arr(prins)))
   }
@@ -122,6 +179,21 @@ object ConceptExtract {
   private val v3NumPs = V3NumPatterns.map(Pattern.compile)
   private val v3ScenPs = V3ScenarioPatterns.map(Pattern.compile)
 
+  private[graft] val V3EqAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("=")), Array(Array("=")), Array(Array("\\frac{")))
+  private[graft] val V3DerivAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("starting with", "from", "given"),
+      Array("we get", "we obtain", "this gives")),
+    Array(Array("using", "substituting"), Array("in")))
+  private[graft] val V3NumAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("="), Digits),
+    Array(Array("wavelength", "frequency", "energy", "mass", "velocity",
+      "temperature", "pressure"), Digits))
+  private[graft] val V3ScenAnchors: Array[Array[Array[String]]] = Array(
+    Array(Array("consider", "suppose", "let"),
+      Array("particle", "system", "field", "wave", "oscillator")),
+    Array(Array("we study", "we consider", "in this work")))
+
   private def physicsEquationV3(eq: String): Boolean =
     eq.contains("=") && spaceTrim(eq).length >= 5 &&
       V3PhysicsVars.exists(eq.contains) && V3MathOps.exists(eq.contains)
@@ -131,28 +203,33 @@ object ConceptExtract {
       return new GenericInternalRow(Array[Any](
         arr(Array.empty), new GenericArrayData(Array.empty[Any]),
         arr(Array.empty), arr(Array.empty)))
-    val eqs = findAll(v3EqPs, text) { m =>
+    val fold = AnchorGuard.asciiLower(text)
+    val eqs = findAllGuarded(v3EqPs, V3EqAnchors, fold, text) { m =>
       val c = cleanEq(WhitelistV3, m)
       if (c.nonEmpty && physicsEquationV3(c)) Some(c) else None
     }
     val pairs = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var dpi = 0
     v3DerivPs.foreach { p =>
-      val m = p.matcher(text)
-      while (m.find()) {
-        val a = spaceTrim(m.group(1))
-        val b = spaceTrim(m.group(2))
-        if (a.length > 15 && b.length > 10)
-          pairs += new GenericInternalRow(Array[Any](
-            UTF8String.fromString(a), UTF8String.fromString(b)))
+      if (AnchorGuard.anchored(fold, V3DerivAnchors(dpi))) {
+        val m = p.matcher(text)
+        while (m.find()) {
+          val a = spaceTrim(m.group(1))
+          val b = spaceTrim(m.group(2))
+          if (a.length > 15 && b.length > 10)
+            pairs += new GenericInternalRow(Array[Any](
+              UTF8String.fromString(a), UTF8String.fromString(b)))
+        }
       }
+      dpi += 1
     }
-    val nums = findAll(v3NumPs, text) { m =>
+    val nums = findAllGuarded(v3NumPs, V3NumAnchors, fold, text) { m =>
       val t = spaceTrim(m)
       if (digitP.matcher(t).find() &&
         containsAnyLower(sparkLower(t), V3NumContexts) && t.length > 4)
         Some(t) else None
     }
-    val scens = findAll(v3ScenPs, text) { m =>
+    val scens = findAllGuarded(v3ScenPs, V3ScenAnchors, fold, text) { m =>
       val t = spaceTrim(m)
       if (t.length > 25 && containsAnyLower(sparkLower(t), V3PhysicsTerms))
         Some(t) else None

@@ -23,7 +23,43 @@ class AnchorNecessitySpec extends SparkTestBase {
     ("UgExample/UgProblemStmtPatterns",
       UgBuilders.UgProblemStmtPatterns.map(_._1), UgExample.StmtAnchors),
     ("UgExample/ConceptPatterns",
-      Extract.ConceptPatterns, UgExample.ConceptAnchors))
+      Extract.ConceptPatterns, UgExample.ConceptAnchors),
+    // round-6 guard extensions (fallbacks + block/concept batteries)
+    ("RlExample/Extract.AnswerPatterns",
+      Extract.AnswerPatterns, RlExample.AnswerAnchors),
+    ("BlockExtract/CompleteDerivationPatterns",
+      Extract.CompleteDerivationPatterns, graft.derive.BlockExtract.DerivAnchors),
+    ("BlockExtract/WorkedSolutionPatterns",
+      Extract.WorkedSolutionPatterns, graft.derive.BlockExtract.SolAnchors),
+    ("BlockExtract/ProofPatterns",
+      Extract.ProofPatterns, graft.derive.BlockExtract.ProofAnchors),
+    ("ConceptExtract/V2EqPatterns",
+      graft.derive.BenchmarkBuilders.V2EqPatterns,
+      graft.derive.ConceptExtract.V2EqAnchors),
+    ("ConceptExtract/V2DerivPatterns",
+      graft.derive.BenchmarkBuilders.V2DerivPatterns,
+      graft.derive.ConceptExtract.V2DerivAnchors),
+    ("ConceptExtract/V2ScenarioPatterns",
+      graft.derive.BenchmarkBuilders.V2ScenarioPatterns,
+      graft.derive.ConceptExtract.V2ScenAnchors),
+    ("ConceptExtract/V2NumPatterns",
+      graft.derive.BenchmarkBuilders.V2NumPatterns,
+      graft.derive.ConceptExtract.V2NumAnchors),
+    ("ConceptExtract/V2PrinciplePatterns",
+      graft.derive.BenchmarkBuilders.V2PrinciplePatterns,
+      graft.derive.ConceptExtract.V2PrinAnchors),
+    ("ConceptExtract/V3EqPatterns",
+      graft.derive.BenchmarkBuilders.V3EqPatterns,
+      graft.derive.ConceptExtract.V3EqAnchors),
+    ("ConceptExtract/V3DerivPatterns",
+      graft.derive.BenchmarkBuilders.V3DerivPatterns,
+      graft.derive.ConceptExtract.V3DerivAnchors),
+    ("ConceptExtract/V3NumPatterns",
+      graft.derive.BenchmarkBuilders.V3NumPatterns,
+      graft.derive.ConceptExtract.V3NumAnchors),
+    ("ConceptExtract/V3ScenarioPatterns",
+      graft.derive.BenchmarkBuilders.V3ScenarioPatterns,
+      graft.derive.ConceptExtract.V3ScenAnchors))
 
   // token soup biased to hit the patterns: every anchor literal (random
   // casing), connective filler, math, punctuation, newlines
@@ -37,6 +73,8 @@ class AnchorNecessitySpec extends SparkTestBase {
       3 -> Gen.oneOf("the", "a", "of", "energy", "force", "x", "y",
         "particle", "wave", "momentum", "conservation", "equation"),
       2 -> Gen.oneOf("=", "= 3", ":", ".", ",", "\n", "e2e", "42"),
+      2 -> Gen.oneOf("= 42 m", "of 42", "is 3.2 eV", "x = 0.5 kg",
+        "= 7 Hz and more", "E = 42 J exactly"),
       1 -> Gen.oneOf("ünïcödé", "İ", "ß", "中文"))
     Gen.chooseNum(3, 25).flatMap(n =>
       Gen.listOfN(n, tokenGen).map(_.mkString(" ") + "."))
@@ -57,11 +95,11 @@ class AnchorNecessitySpec extends SparkTestBase {
         }
       }
       val res = SCTest.check(
-        SCTest.Parameters.default.withMinSuccessfulTests(800), prop)
+        SCTest.Parameters.default.withMinSuccessfulTests(1200), prop)
       assert(res.passed, s"$name: ${res.status}")
       // non-vacuous: the soup must actually exercise the match->anchored
       // implication, not just its trivially-true branch
-      assert(matches > 500, s"$name: only $matches matches generated")
+      assert(matches > 300, s"$name: only $matches matches generated")
       info(s"$name: $matches pattern matches all anchored")
     }
   }

@@ -85,5 +85,9 @@ class NonAsciiProfileProbe extends SparkTestBase {
     battery("UgExample.metaRow")(UgExample.metaRow(_, "Physics"))
     battery("UgExample.solutionSteps")(UgExample.solutionSteps)
     battery("RlExample.reasoningSteps")(RlExample.reasoningSteps)
+    battery("BlockExtract.compute")(graft.derive.BlockExtract.compute)
+    battery("ConceptExtract.computeV2")(graft.derive.ConceptExtract.computeV2)
+    battery("ConceptExtract.computeV3")(graft.derive.ConceptExtract.computeV3)
+    battery("StepExtract.compute")(graft.derive.StepExtract.compute)
   }
 }
