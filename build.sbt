@@ -11,9 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 // Probe-tagged tests are measurement harnesses (min-of-N timings, stage
-// budgets) — run them on demand with `testOnly <Suite> -- -n graft.Probe`;
-// they are excluded from the default suite so `sbt test` stays a pure
-// correctness gate with stable wall-clock.
+// budgets) — excluded from the default suite so `sbt test` stays a pure
+// correctness gate with stable wall-clock. NOTE: appending `-- -n
+// graft.Probe` to testOnly does NOT override the exclusion below (both
+// args reach ScalaTest and the `-l` wins — 0 tests run); replace the
+// options for the invocation instead:
+//   sbt 'set Test / testOptions := Seq(Tests.Argument(TestFrameworks.ScalaTest,
+//     "-n", "graft.Probe"))' "testOnly graft.<Suite>"
 Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.Probe")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
