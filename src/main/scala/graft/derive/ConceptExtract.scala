@@ -31,16 +31,6 @@ object ConceptExtract {
     if (a == 0 && b == s.length) s else s.substring(a, b)
   }
 
-  private def findAll(ps: Seq[Pattern], text: String, group: Int = 1)
-                     (keep: String => Option[String]): Array[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    ps.foreach { p =>
-      val m = p.matcher(text)
-      while (m.find()) keep(m.group(group)).foreach(out += _)
-    }
-    out.toArray
-  }
-
   /** findAll with per-pattern necessary-literal guards (round-6: the
     * AnchorGuard discipline — a pattern whose required literal set is
     * absent from the ascii-folded text cannot match, so its whole-text

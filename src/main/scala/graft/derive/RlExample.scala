@@ -133,8 +133,13 @@ object RlExample {
     Array(Array("from", "using", "by", "since")),
     Array(Array("therefore", "thus", "hence")))
 
-  def reasoningSteps(c: String): Array[String] = {
-    val fold = AnchorGuard.asciiLower(c)
+  def reasoningSteps(c: String): Array[String] =
+    reasoningStepsFold(c, AnchorGuard.asciiLower(c))
+
+  /** Fold-threaded variant (the UgExample.metaRow discipline): callers
+    * that also fold `c` for other guards pass the one copy through.
+    */
+  private[derive] def reasoningStepsFold(c: String, fold: String): Array[String] = {
     val primary = ArrayBuffer.empty[String]
     var pi = 0
     stepPs.foreach { p =>
@@ -185,11 +190,13 @@ object RlExample {
     Array(Array("answer", "result", "therefore", "thus", "hence", "finally")),
     Array(Array("="), Array("0", "1", "2", "3", "4", "5", "6", "7", "8", "9")))
 
-  def finalAnswer(c: String): String = {
+  def finalAnswer(c: String): String =
+    finalAnswerFold(c, AnchorGuard.asciiLower(c))
+
+  private[derive] def finalAnswerFold(c: String, fold: String): String = {
     // anchor guards (round-6 non-ASCII profile): each pattern's regex
     // scan runs only when its necessary literals are present — output
     // identical by construction (a guarded-out pattern cannot match)
-    val fold = AnchorGuard.asciiLower(c)
     var pi = 0
     answerPs.foreach { p =>
       if (AnchorGuard.anchored(fold, AnswerAnchors(pi))) {
@@ -277,9 +284,10 @@ object RlExample {
     if (lt(p, 25) || lt(s, 40)) return null
     val cp = c9CleanValidate(p); val cs = c9CleanValidate(s)
     if (cp == null || cs == null) return null
-    val steps = reasoningSteps(cs)
+    val fold = AnchorGuard.asciiLower(cs) // one fold for both batteries
+    val steps = reasoningStepsFold(cs, fold)
     if (steps.length < 2) return null
-    Example("explicit_problem_solution", cp, steps, finalAnswer(cs),
+    Example("explicit_problem_solution", cp, steps, finalAnswerFold(cs, fold),
       assessQuality(cp, steps))
   }
 

@@ -75,6 +75,11 @@ class AnchorNecessitySpec extends SparkTestBase {
       2 -> Gen.oneOf("=", "= 3", ":", ".", ",", "\n", "e2e", "42"),
       2 -> Gen.oneOf("= 42 m", "of 42", "is 3.2 eV", "x = 0.5 kg",
         "= 7 Hz and more", "E = 42 J exactly"),
+      // shapes the plain literal soup cannot assemble: complete \frac
+      // bodies, Schrödinger (both spellings), Q.E.D.-terminated proofs
+      1 -> Gen.oneOf("\\frac{a}{b} = c here", "\\frac{x}{2}",
+        "Schrödinger equation", "Schrodinger equation of the atom",
+        "Q.E.D.", "∇ of the field here", "∂ of x here"),
       1 -> Gen.oneOf("ünïcödé", "İ", "ß", "中文"))
     Gen.chooseNum(3, 25).flatMap(n =>
       Gen.listOfN(n, tokenGen).map(_.mkString(" ") + "."))
@@ -85,22 +90,30 @@ class AnchorNecessitySpec extends SparkTestBase {
       assert(patternStrs.length == anchors.length, s"$name arity")
       val ps = patternStrs.map(Pattern.compile)
       val literals = anchors.flatten.flatten.toSeq.distinct
-      var matches = 0
+      val matchesPer = Array.fill(ps.length)(0)
       val prop = Prop.forAll(textGen(literals)) { s =>
         val fold = AnchorGuard.asciiLower(s)
         ps.indices.forall { i =>
           val m = ps(i).matcher(s).find()
-          if (m) matches += 1
+          if (m) matchesPer(i) += 1
           !m || AnchorGuard.anchored(fold, anchors(i))
         }
       }
       val res = SCTest.check(
         SCTest.Parameters.default.withMinSuccessfulTests(1200), prop)
       assert(res.passed, s"$name: ${res.status}")
-      // non-vacuous: the soup must actually exercise the match->anchored
-      // implication, not just its trivially-true branch
+      // non-vacuous PER PATTERN: every pattern's match->anchored
+      // implication must actually fire, or a wrong anchor on a pattern
+      // the soup never matches would pass vacuously (the exact
+      // silent-skip class this spec exists to prevent)
+      val matches = matchesPer.sum
+      matchesPer.zipWithIndex.foreach { case (c, i) =>
+        assert(c >= 5, s"$name pattern[$i]: only $c matches generated " +
+          s"(pattern never exercised — enrich the soup): ${patternStrs(i)}")
+      }
       assert(matches > 300, s"$name: only $matches matches generated")
-      info(s"$name: $matches pattern matches all anchored")
+      info(s"$name: $matches matches all anchored " +
+        s"(per pattern: ${matchesPer.mkString(",")})")
     }
   }
 }

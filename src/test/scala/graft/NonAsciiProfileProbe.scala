@@ -39,14 +39,15 @@ class NonAsciiProfileProbe extends SparkTestBase {
       s"mix degenerate: ${byClass.view.mapValues(_.length).toMap}")
 
     // ---- anchor presence: does the guard let the battery run? ----
+    // production anchor arrays, not copies — the rates must describe
+    // the SHIPPED guards even after the anchor sets are edited
     val anchorSets: Seq[(String, Array[Array[String]])] = Seq(
       "rl.v2 explicit[0]" ->
         RlBuilder.ExplicitAnchors.head.map(_.toArray).toArray,
       "rl.v3 explicit[0]" ->
         RlBuilder.V3ExplicitAnchors.head.map(_.toArray).toArray,
-      "ug step (Using...)" -> Array(Array("using", "applying", "from", "by")),
-      "ug stmt (Problem:)" -> Array(Array("problem", "question", "exercise",
-        "example", "given")))
+      "ug StepAnchors[1]" -> UgExample.StepAnchors(1),
+      "ug StmtAnchors[0]" -> UgExample.StmtAnchors(0))
     for ((name, groups) <- anchorSets) {
       val rates = (0 to 3).map { c =>
         val ds = byClass(c)
