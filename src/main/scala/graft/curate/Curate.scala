@@ -170,6 +170,14 @@ object Curate {
     * never scrubbed). This is the frame a curation run would write next
     * to the training sink: every drop is attributable, every kept byte
     * is scrub-clean. Fully DuckDB-oracled end-to-end (q52).
+    *
+    * Reserved column names (round-5 ADVICE): the chain labels rows
+    * through columns named `stage`, `scrubbed`, `__keep`, `__stage`,
+    * `__fp`, `__keeper`, `__n` and `__g`; an input frame that already
+    * carries one of these makes the labeling join ambiguous
+    * (AnalysisException) or mislabels rows. Callers must rename such
+    * input columns first — the declared-query surface (doc_id, text)
+    * never collides.
     */
   def curationLog(docs: DataFrame, idCol: String, textCol: String,
                   shingleN: Int = 3, minJaccard: Double = 0.8,

@@ -99,6 +99,20 @@ object StreamingPipeline {
     * Output: the surviving rows with original columns plus `scrubbed`.
     * StreamingCurateSpec proves micro-batches ≡ the batch chain stages
     * on the stages that have exact streaming semantics.
+    *
+    * State-growth trade-off (round-5 ADVICE): both `dropDuplicates`
+    * keys run WITHOUT a watermark, so the dedup state store grows with
+    * the number of distinct documents ever seen — the price of exact
+    * global "first arrival wins" semantics on an unbounded stream. For
+    * a long-running deployment, bound the state by composing
+    * `withWatermark` + `dropDuplicatesWithinWatermark` upstream of this
+    * face (dedup then only spans the watermark horizon — documents
+    * re-crawled later than the horizon are kept again, the safe
+    * direction for a dedup), or run the exact batch chain periodically
+    * over the sink. A TTL knob is deliberately NOT baked in here: the
+    * right horizon is an ingestion-policy decision, and silently
+    * changing dedup semantics behind a default would break the
+    * micro-batch ≡ batch equivalence this face is specced against.
     */
   def curateStream(docs: DataFrame, idCol: String, textCol: String,
                    simhashNearDup: Boolean = true): DataFrame = {
